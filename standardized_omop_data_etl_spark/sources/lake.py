@@ -1,0 +1,416 @@
+"""Snapshot-versioned, key-bucketed parquet lake table ("mini-Iceberg").
+
+No Iceberg runtime jars ship in this environment, so the engine provides its
+own lake-table format with the same contract the north star requires of an
+Iceberg sink:
+
+* **snapshot isolation** — every commit writes an immutable snapshot manifest
+  ``metadata/v{N}.json`` listing the data files per bucket; readers resolve
+  the current snapshot through an atomically-replaced ``metadata/_current``
+  pointer. Old snapshots stay readable (time travel).
+* **key bucketing** — data files are laid out by
+  ``bucket = pmod(xxhash64(key), num_buckets)``. A MERGE touches only the
+  buckets its batch hashes into; untouched buckets carry their existing files
+  forward by reference. This is the property that keeps a micro-batch MERGE
+  proportional to the *batch*, not the 100 TB table.
+* **commit-level properties** — arbitrary JSON properties ride on the
+  snapshot (the exactly-once layer stamps applied checkpoint epochs here, the
+  analogue of Iceberg's ``snapshot.summary`` dedup check).
+* **schema-as-data** — the table schema is stored in the manifest; evolution
+  never rewrites files. Spark's parquet reader applies the current schema on
+  read: files missing a column yield NULL, int32 files read as int64 after a
+  widening, array<int> reads as array<long> (all verified by tests).
+
+Reference parity: the reference's stage-checkpoint directories
+(``pipeline_process_subtables_to_final.py:17-23,171-180``) become snapshot
+commits; its destructive re-init / full replay (``:11-54``) becomes
+``create(..., overwrite=True)`` + replay from LSN 0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+METADATA_DIR = "metadata"
+DATA_DIR = "data"
+CURRENT_PTR = "_current"
+
+# Hidden physical columns (present in data files, invisible to table readers).
+LSN_COL = "_lsn"  # per-row last-applied LSN: powers MATCHED AND src.lsn > tgt.lsn
+LINEAGE_COL = "_lineage"  # per-row provenance string (reference readme.md:91-97 analogue)
+
+
+class SchemaEvolutionError(ValueError):
+    """Raised when an incoming batch schema cannot be reconciled."""
+
+
+def _atomic_write(path: str, payload: str) -> None:
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
+def bucket_expr(key_col: str, num_buckets: int):
+    """Deterministic bucket id for a key — same hash on writer and reader."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+
+
+# ---------------------------------------------------------------------------
+# Schema-registry diff (the ALTER-before-MERGE policy)
+# ---------------------------------------------------------------------------
+
+# keys are DataType.simpleString() names
+_WIDENINGS: dict[tuple[str, str], bool] = {
+    ("int", "bigint"): True,
+    ("smallint", "int"): True,
+    ("smallint", "bigint"): True,
+    ("tinyint", "smallint"): True,
+    ("tinyint", "int"): True,
+    ("tinyint", "bigint"): True,
+    ("float", "double"): True,
+}
+
+
+def _can_widen(src: T.DataType, dst: T.DataType) -> bool:
+    if src == dst:
+        return True
+    if isinstance(src, T.ArrayType) and isinstance(dst, T.ArrayType):
+        return _can_widen(src.elementType, dst.elementType)
+    return _WIDENINGS.get((src.simpleString(), dst.simpleString()), False)
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Least common widened type of two types, or None if incompatible."""
+    if a == b:
+        return a
+    if isinstance(a, T.ArrayType) and isinstance(b, T.ArrayType):
+        elem = _widen(a.elementType, b.elementType)
+        return T.ArrayType(elem, True) if elem is not None else None
+    if _can_widen(a, b):
+        return b
+    if _can_widen(b, a):
+        return a
+    return None
+
+
+def diff_schema(
+    table_schema: T.StructType, batch_schema: T.StructType
+) -> tuple[T.StructType, list[dict[str, str]]]:
+    """Schema-registry diff: reconcile an incoming batch schema with the table.
+
+    Returns ``(evolved_schema, changes)`` where changes is a list of
+    ``{action: add_column|widen_type, column, type}`` DDL-shaped records.
+    Policy (north_rule): added columns OK (nullable), integer/float widening
+    OK (incl. inside array elements — `n_tok` int32→int64, tokens
+    array<int32>→array<int64>), anything else is an error. Batch columns
+    missing from the table are appended; table columns missing from the batch
+    are fine (batch rows get NULL). Order: table columns first, additions
+    appended — id-based, order-tolerant like Iceberg.
+    """
+    changes: list[dict[str, str]] = []
+    by_name = {f.name: f for f in batch_schema.fields}
+    out: list[T.StructField] = []
+    for f in table_schema.fields:
+        b = by_name.pop(f.name, None)
+        if b is None or b.dataType == f.dataType:
+            out.append(T.StructField(f.name, f.dataType, True))
+            continue
+        widened = _widen(f.dataType, b.dataType)
+        if widened is None:
+            raise SchemaEvolutionError(
+                f"incompatible type change for column {f.name!r}: "
+                f"{f.dataType.simpleString()} -> {b.dataType.simpleString()}"
+            )
+        if widened != f.dataType:
+            changes.append(
+                {"action": "widen_type", "column": f.name, "type": widened.simpleString()}
+            )
+        out.append(T.StructField(f.name, widened, True))
+    for name, b in by_name.items():
+        changes.append({"action": "add_column", "column": name, "type": b.dataType.simpleString()})
+        out.append(T.StructField(name, b.dataType, True))
+    return T.StructType(out), changes
+
+
+def conform_exprs(df: DataFrame, schema: T.StructType) -> list:
+    """Column expressions projecting ``df`` onto ``schema`` (missing columns →
+    typed NULL). The columnar analogue of the reference's
+    ``add_missing_columns.py:27-49`` schema-padding pass (operator P2)."""
+    have = {f.name for f in df.schema.fields}
+    return [
+        (df[f.name].cast(f.dataType) if f.name in have else F.lit(None).cast(f.dataType)).alias(
+            f.name
+        )
+        for f in schema.fields
+    ]
+
+
+def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
+    return df.select(*conform_exprs(df, schema))
+
+
+# ---------------------------------------------------------------------------
+# LakeTable
+# ---------------------------------------------------------------------------
+
+
+class LakeTable:
+    """A snapshot-versioned bucketed parquet table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # -- creation / loading -------------------------------------------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_col: str,
+        num_buckets: int = 16,
+        properties: dict[str, Any] | None = None,
+        overwrite: bool = False,
+    ) -> "LakeTable":
+        path = os.path.abspath(path)
+        if os.path.exists(os.path.join(path, METADATA_DIR, CURRENT_PTR)):
+            if not overwrite:
+                raise FileExistsError(f"table already exists at {path}")
+            shutil.rmtree(path)
+        os.makedirs(os.path.join(path, METADATA_DIR), exist_ok=True)
+        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
+        tbl = cls(spark, path)
+        manifest = {
+            "version": 0,
+            "parent": None,
+            "schema": json.loads(schema.json()),
+            "key_col": key_col,
+            "num_buckets": num_buckets,
+            "files": {},  # bucket(str) -> [relative data file paths]
+            "properties": properties or {},
+            "summary": {"operation": "create", "total_rows": 0},
+        }
+        tbl._write_manifest(manifest)
+        return tbl
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        tbl = cls(spark, path)
+        tbl.manifest()  # raises if missing
+        return tbl
+
+    @classmethod
+    def exists(cls, path: str) -> bool:
+        return os.path.exists(os.path.join(os.path.abspath(path), METADATA_DIR, CURRENT_PTR))
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.path, METADATA_DIR, name)
+
+    def current_version(self) -> int:
+        with open(self._meta_path(CURRENT_PTR)) as f:
+            return int(f.read().strip())
+
+    def manifest(self, version: int | None = None) -> dict[str, Any]:
+        if version is None:
+            version = self.current_version()
+        with open(self._meta_path(f"v{version}.json")) as f:
+            return json.load(f)
+
+    def _write_manifest(self, manifest: dict[str, Any]) -> None:
+        v = manifest["version"]
+        _atomic_write(self._meta_path(f"v{v}.json"), json.dumps(manifest, indent=1))
+        _atomic_write(self._meta_path(CURRENT_PTR), str(v))
+
+    # -- schema accessors ----------------------------------------------------
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        """User-facing table schema (hidden physical columns excluded)."""
+        return T.StructType.fromJson(self.manifest(version)["schema"])
+
+    def physical_schema(self, version: int | None = None) -> T.StructType:
+        s = self.schema(version)
+        return T.StructType(
+            list(s.fields)
+            + [
+                T.StructField(LSN_COL, T.LongType(), True),
+                T.StructField(LINEAGE_COL, T.StringType(), True),
+            ]
+        )
+
+    @property
+    def key_col(self) -> str:
+        return self.manifest()["key_col"]
+
+    @property
+    def num_buckets(self) -> int:
+        return self.manifest()["num_buckets"]
+
+    def properties(self, version: int | None = None) -> dict[str, Any]:
+        return self.manifest(version)["properties"]
+
+    # -- reads ---------------------------------------------------------------
+
+    def _files(self, version: int | None = None, buckets: list[int] | None = None) -> list[str]:
+        m = self.manifest(version)
+        out: list[str] = []
+        for b, files in m["files"].items():
+            if buckets is None or int(b) in buckets:
+                out.extend(os.path.join(self.path, f) for f in files)
+        return out
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_hidden: bool = False,
+    ) -> DataFrame:
+        """Read the table (optionally a bucket subset / older snapshot).
+
+        Always reads with the *current manifest schema* explicitly, so files
+        written before a schema evolution surface NULLs / widened ints without
+        any rewrite.
+        """
+        schema = self.physical_schema(version) if include_hidden else self.schema(version)
+        files = self._files(version, buckets)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*files)
+
+    # -- writes --------------------------------------------------------------
+
+    def _new_data_dir(self, version: int) -> str:
+        d = os.path.join(self.path, DATA_DIR, f"snap-v{version}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def write_bucket_files(self, df: DataFrame, version: int) -> dict[int, list[str]]:
+        """Write ``df`` (which must carry an int ``_bucket`` column) as one
+        dir per bucket under a fresh snapshot data dir; returns
+        bucket -> [relative file paths]. ``_bucket`` is a path-only partition
+        column — it is not stored in the parquet row groups and is re-derived
+        from the key on demand.
+        """
+        out_dir = self._new_data_dir(version)
+        df.write.partitionBy("_bucket").mode("append").parquet(out_dir)
+        files: dict[int, list[str]] = {}
+        for entry in os.listdir(out_dir):
+            if not entry.startswith("_bucket="):
+                continue
+            b = int(entry.split("=", 1)[1])
+            bucket_dir = os.path.join(out_dir, entry)
+            rels = [
+                os.path.relpath(os.path.join(bucket_dir, f), self.path)
+                for f in os.listdir(bucket_dir)
+                if f.endswith(".parquet")
+            ]
+            files[b] = sorted(rels)
+        return files
+
+    def commit(
+        self,
+        new_files_by_bucket: dict[int, list[str]],
+        replaced_buckets: set[int],
+        schema: T.StructType | None = None,
+        properties_update: dict[str, Any] | None = None,
+        summary: dict[str, Any] | None = None,
+    ) -> int:
+        """Commit a new snapshot: replace files for ``replaced_buckets`` with
+        ``new_files_by_bucket``; carry all other buckets forward by reference.
+        Manifest + current-pointer writes are atomic (temp file + rename), so
+        a crash mid-commit leaves the previous snapshot current and only
+        orphans unreferenced data files.
+        """
+        m = self.manifest()
+        new_version = m["version"] + 1
+        files = {b: f for b, f in m["files"].items() if int(b) not in replaced_buckets}
+        for b, fl in new_files_by_bucket.items():
+            if fl:
+                files[str(b)] = fl
+        props = dict(m["properties"])
+        if properties_update:
+            props.update(properties_update)
+        manifest = {
+            "version": new_version,
+            "parent": m["version"],
+            "schema": json.loads(schema.json()) if schema is not None else m["schema"],
+            "key_col": m["key_col"],
+            "num_buckets": m["num_buckets"],
+            "files": files,
+            "properties": props,
+            "summary": summary or {},
+        }
+        self._write_manifest(manifest)
+        return new_version
+
+    def alter_schema(self, new_schema: T.StructType, changes: list[dict[str, str]]) -> int:
+        """ALTER-before-MERGE: commit a metadata-only snapshot carrying the
+        evolved schema. No data files move."""
+        m = self.manifest()
+        return self.commit(
+            {},
+            set(),
+            schema=new_schema,
+            summary={"operation": "alter", "changes": changes, "parent": m["version"]},
+        )
+
+    def overwrite_full(self, df: DataFrame, lineage: str = "bootstrap") -> int:
+        """Full-table overwrite (CREATE TABLE AS SELECT analogue, reference
+        S4/S6). ``df`` must match the table schema; hidden cols are added."""
+        key = self.key_col
+        out = conform_to_schema(df, self.schema())
+        if LSN_COL not in df.columns:
+            out = out.withColumn(LSN_COL, F.lit(0).cast("long"))
+        else:
+            out = out.withColumn(LSN_COL, df[LSN_COL])
+        out = out.withColumn(LINEAGE_COL, F.lit(lineage))
+        out = out.withColumn("_bucket", bucket_expr(key, self.num_buckets))
+        out = out.repartition(F.col("_bucket"))
+        version = self.current_version() + 1
+        new_files = self.write_bucket_files(out, version)
+        return self.commit(
+            new_files,
+            replaced_buckets=set(range(self.num_buckets)),
+            summary={"operation": "overwrite"},
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Delete data files referenced only by expired snapshots (GC)."""
+        current = self.current_version()
+        keep_versions = set(range(max(0, current - keep_last + 1), current + 1))
+        live: set[str] = set()
+        all_versions = [
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.path, METADATA_DIR))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        for v in keep_versions:
+            for fl in self.manifest(v)["files"].values():
+                live.update(fl)
+        removed: list[str] = []
+        for v in sorted(all_versions):
+            if v in keep_versions:
+                continue
+            for fl in self.manifest(v)["files"].values():
+                for f in fl:
+                    if f not in live:
+                        p = os.path.join(self.path, f)
+                        if os.path.exists(p):
+                            os.remove(p)
+                            removed.append(f)
+            os.remove(self._meta_path(f"v{v}.json"))
+        return removed

