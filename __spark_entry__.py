@@ -1,38 +1,575 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC query on sf0.001. ``queries()`` maps
+every implemented operator family from SURVEY.md §2 (plus the training-data
+ops) to a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Column names/aliases match pairwise (the driver sorts
+columns by name before value-hashing).
+
+The ``events`` table plays the change-log analogue: ``event_id`` is the LSN,
+``user_id`` the key, ``event_type='error'`` the delete op.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from standardized_omop_data_etl_spark.functions import scalars as FX
+from standardized_omop_data_etl_spark.functions import text_analysis as TX
+from standardized_omop_data_etl_spark.operators import dedup as DD
+from standardized_omop_data_etl_spark.operators import relational as R
+from standardized_omop_data_etl_spark.operators import similarity as SIM
+from standardized_omop_data_etl_spark.operators.lww import lww_latest, priority_dedup
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: CDC LWW final-state (A4/W1 kernel — the engine's MERGE resolution
+# expressed as one query: latest event per key wins; latest=delete drops).
+# ---------------------------------------------------------------------------
+
+
+def q_cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    latest = lww_latest(ev, "user_id", "event_id")
+    return (
+        latest.filter(F.col("event_type") != "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_lsn"),
+            "event_type",
+            "value",
+        )
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_cdc_lww_state(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# queries() / oracle_sql()
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    PRIORITY = {"signup": 1, "purchase": 2, "click": 3, "view": 4, "error": 5}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_priority_dedup(spark, sf):
+        ev = _t(spark, sf, "events").withColumn(
+            "priority", FX.decode_map(F.col("event_type"), PRIORITY)
+        )
+        out = priority_dedup(ev, "user_id", "priority", tiebreak_cols=["event_id"])
+        return out.select("user_id", "event_id", "event_type", "priority")
+
+    def q_minmax_periods(spark, sf):
+        ev = _t(spark, sf, "events")
+        out = R.minmax_periods([ev], "user_id", [["ts"]])
+        return out.select(
+            "user_id",
+            F.date_format("period_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("period_start"),
+            F.date_format("period_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("period_end"),
+        )
+
+    def q_anti_join_delete(spark, sf):
+        ev = _t(spark, sf, "events")
+        dead = ev.filter(F.col("event_type") == "error").select(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        live = R.anti_join_delete(
+            ev.withColumn("day", F.to_date("ts")), dead, on=["user_id", "day"]
+        )
+        return live.select("event_id", "user_id", "event_type")
+
+    def q_semi_join_exists(spark, sf):
+        ev = _t(spark, sf, "events")
+        signups = ev.filter(F.col("event_type") == "signup").select("user_id")
+        return R.semi_join_exists(
+            ev.filter(F.col("event_type") == "purchase"), signups, on=["user_id"]
+        ).select("event_id", "user_id", "value")
+
+    def q_dedup_exact_keys(spark, sf):
+        return _t(spark, sf, "events").select("user_id", "event_type").distinct()
+
+    def q_surrogate_ids(spark, sf):
+        c = _t(spark, sf, "customer")
+        return R.surrogate_ids(c, ["c_custkey"], "row_id").select(
+            "c_custkey", "c_name", "row_id"
+        )
+
+    def q_union_multi_source(spark, sf):
+        ev = _t(spark, sf, "events")
+        a = ev.filter(F.col("event_type") == "signup").select("user_id", "event_id", "value")
+        b = ev.filter(F.col("event_type") == "purchase").select("user_id", "event_id")
+        return R.union_all([a, b]).select("user_id", "event_id", "value")
+
+    def q_unpivot_lineitem(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return R.unpivot_items(
+            li,
+            ids=["l_orderkey", "l_linenumber"],
+            items=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+            var_col="measure",
+            val_col="val",
+        )
+
+    def q_fanout_concepts(spark, sf):
+        p = _t(spark, sf, "part")
+        return R.fanout_concepts(p.select("p_partkey"), [1001, 1002, 1003]).select(
+            "p_partkey", F.col("concept_id").cast("int").alias("concept_id")
+        )
+
+    def q_normalized_join_fanout(spark, sf):
+        docs = _t(spark, sf, "documents")
+        mapping = spark.createDataFrame(
+            [("SRC0", 100), (" src0 ", 101), ("Src1", 200), ("src2", 300)],
+            "src_name string, concept_id int",
+        )
+        joined = R.normalized_join(docs, mapping, "source", "src_name", how="left")
+        return joined.select(
+            "doc_id", "source", F.coalesce("concept_id", F.lit(0)).alias("concept_id")
+        )
+
+    def q_regex_match_filter(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.filter(F.col("text").rlike(r"(?i)\bthe\b"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+
+    def q_fuzzy_match(spark, sf):
+        docs = _t(spark, sf, "documents")
+        ratio = R.fuzzy_ratio(F.col("source"), F.lit("src1"))
+        return docs.select(
+            "doc_id", "source", F.round(ratio, 4).alias("sim")
+        ).filter(F.col("sim") > 0.6)
+
+    def q_sanitize_numeric(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.select("event_id", FX.sanitize_numeric(F.col("props")).alias("props_num"))
+
+    def q_id_transform(spark, sf):
+        c = _t(spark, sf, "customer")
+        return c.select(
+            "c_custkey", FX.transform_id_9digit(F.col("c_custkey")).alias("id9")
+        )
+
+    def q_provenance_concat(spark, sf):
+        ev = _t(spark, sf, "events")
+        prov = FX.provenance(
+            "events", F.col("event_type"), F.col("event_id").cast("string")
+        )
+        return ev.select("event_id", prov.alias("prov"))
+
+    def q_date_reformat(spark, sf):
+        o = _t(spark, sf, "orders")
+        dmy = F.date_format("o_orderdate", "dd/MM/yyyy")
+        return o.select(
+            "o_orderkey",
+            dmy.alias("dmy"),
+            FX.reformat_date_dmy(dmy).alias("iso"),
+        )
+
+    def q_relative_day_date(spark, sf):
+        ev = _t(spark, sf, "events")
+        # explicit floor: Spark's double→int cast truncates while DuckDB's
+        # rounds, so both sides floor first
+        days = F.floor("value").cast("int")
+        return ev.select(
+            "event_id",
+            F.date_format(FX.relative_day_to_date(days), "yyyy-MM-dd").alias("obs_date"),
+            FX.relative_day_to_birth_year(days).alias("birth_year"),
+        )
+
+    def q_unit_conversion(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            FX.lb_to_kg(F.col("l_quantity")).alias("qty_kg"),
+            FX.inch_to_cm(F.col("l_quantity")).alias("qty_cm"),
+            FX.fahrenheit_to_celsius(F.col("l_quantity") + 60.0).alias("qty_c"),
+        )
+
+    def q_when_chain_decode(spark, sf):
+        o = _t(spark, sf, "orders")
+        code = FX.decode_map(
+            F.col("o_orderpriority"),
+            {"1-URGENT": 1, "2-HIGH": 2, "3-MEDIUM": 3, "4-NOT SPECIFIED": 4, "5-LOW": 5},
+            default=0,
+        )
+        return o.select("o_orderkey", code.cast("int").alias("priority_code"))
+
+    def q_groupby_count(spark, sf):
+        return (
+            _t(spark, sf, "events")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_redundancy_report(spark, sf):
+        ev = _t(spark, sf, "events")
+        return R.redundancy_report(ev, ["user_id"], "event_type", min_tables=4).select(
+            "user_id", F.col("n_tables").cast("long").alias("n_tables")
+        )
+
+    def q_tpch_q1(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("sum_disc_price"),
+                F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+                F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
+
+    def q_tpch_q3(spark, sf):
+        c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("o_orderkey")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+        )
+
+    def q_tpch_q5(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        s = _t(spark, sf, "supplier")
+        return (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+            .filter(s["s_nationkey"] == c["c_nationkey"])
+            .groupBy("n_name")
+            .agg(
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                ).alias("revenue")
+            )
+        )
+
+    def q_doc_fingerprint(spark, sf):
+        docs = _t(spark, sf, "documents")
+        norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+    def q_exact_dup_groups(spark, sf):
+        docs = _t(spark, sf, "documents")
+        norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+        return (
+            docs.select(F.md5(norm).alias("fp"), "doc_id")
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        )
+
+    def q_token_count(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            TX.token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
+        )
+
+    def q_quality_score(spark, sf):  # rows-only (no oracle): composite heuristic
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+    def q_lang_detect(spark, sf):  # rows-only (no oracle): argmax heuristic
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", TX.detect_lang(F.col("text")).alias("lang_pred"))
+
+    def q_embedding_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 5)
+        return SIM.cosine_topk(emb, queries_df, "embedding", "vec_id", k=3).select(
+            "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+        )
+
+    def q_ngram_jaccard(spark, sf):  # rows-only: word-3-gram near-dup pairs
+        docs = _t(spark, sf, "documents")
+        return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+
+    def q_minhash_lsh(spark, sf):  # rows-only: banded-LSH candidate pairs
+        docs = _t(spark, sf, "documents")
+        return DD.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
+
+    def q_simhash(spark, sf):  # rows-only: simhash block-collision pairs
+        docs = _t(spark, sf, "documents").limit(200)
+        return DD.simhash_duplicates(docs, "text", "doc_id", blocks=4)
+
+    def q_lsh_topk(spark, sf):  # rows-only: hyperplane-LSH ANN
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3)
+        return SIM.lsh_topk(emb, queries_df, "embedding", "vec_id", dim=64, k=3, bits=4, tables=2)
+
+    return {
+        "cdc_lww_state": q_cdc_lww_state,
+        "priority_dedup": q_priority_dedup,
+        "minmax_periods": q_minmax_periods,
+        "anti_join_delete": q_anti_join_delete,
+        "semi_join_exists": q_semi_join_exists,
+        "dedup_exact_keys": q_dedup_exact_keys,
+        "surrogate_ids": q_surrogate_ids,
+        "union_multi_source": q_union_multi_source,
+        "unpivot_lineitem": q_unpivot_lineitem,
+        "fanout_concepts": q_fanout_concepts,
+        "normalized_join_fanout": q_normalized_join_fanout,
+        "regex_match_filter": q_regex_match_filter,
+        "fuzzy_match": q_fuzzy_match,
+        "sanitize_numeric": q_sanitize_numeric,
+        "id_transform": q_id_transform,
+        "provenance_concat": q_provenance_concat,
+        "date_reformat": q_date_reformat,
+        "relative_day_date": q_relative_day_date,
+        "unit_conversion": q_unit_conversion,
+        "when_chain_decode": q_when_chain_decode,
+        "groupby_count": q_groupby_count,
+        "redundancy_report": q_redundancy_report,
+        "tpch_q1": q_tpch_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "doc_fingerprint": q_doc_fingerprint,
+        "exact_dup_groups": q_exact_dup_groups,
+        "token_count": q_token_count,
+        "quality_score": q_quality_score,
+        "lang_detect": q_lang_detect,
+        "embedding_topk": q_embedding_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lsh_topk": q_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "cdc_lww_state": """
+            WITH w AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_id AS last_lsn, event_type, value
+            FROM w WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "priority_dedup": """
+            WITH p AS (
+              SELECT user_id, event_id, event_type,
+                     CASE event_type WHEN 'signup' THEN 1 WHEN 'purchase' THEN 2
+                          WHEN 'click' THEN 3 WHEN 'view' THEN 4 WHEN 'error' THEN 5 END AS priority
+              FROM events),
+            w AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY priority ASC, event_id ASC) rn
+              FROM p)
+            SELECT user_id, event_id, event_type, priority FROM w WHERE rn = 1
+        """,
+        "minmax_periods": """
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS period_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS period_end
+            FROM events GROUP BY user_id
+        """,
+        "anti_join_delete": """
+            SELECT e.event_id, e.user_id, e.event_type
+            FROM events e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM events d
+              WHERE d.event_type = 'error' AND d.user_id = e.user_id
+                AND CAST(d.ts AS DATE) = CAST(e.ts AS DATE))
+        """,
+        "semi_join_exists": """
+            SELECT e.event_id, e.user_id, e.value
+            FROM events e
+            WHERE e.event_type = 'purchase'
+              AND EXISTS (SELECT 1 FROM events s
+                          WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
+        """,
+        "dedup_exact_keys": "SELECT DISTINCT user_id, event_type FROM events",
+        "surrogate_ids": """
+            SELECT c_custkey, c_name,
+                   row_number() OVER (ORDER BY c_custkey) AS row_id
+            FROM customer
+        """,
+        "union_multi_source": """
+            SELECT user_id, event_id, value FROM events WHERE event_type = 'signup'
+            UNION ALL
+            SELECT user_id, event_id, NULL AS value FROM events WHERE event_type = 'purchase'
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem WHERE l_quantity IS NOT NULL
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem WHERE l_extendedprice IS NOT NULL
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem WHERE l_discount IS NOT NULL
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem WHERE l_tax IS NOT NULL
+        """,
+        "fanout_concepts": """
+            SELECT p_partkey, c.concept_id
+            FROM part CROSS JOIN (VALUES (1001), (1002), (1003)) AS c(concept_id)
+        """,
+        "normalized_join_fanout": """
+            SELECT d.doc_id, d.source, COALESCE(m.concept_id, 0) AS concept_id
+            FROM documents d
+            LEFT JOIN (VALUES ('SRC0', 100), (' src0 ', 101), ('Src1', 200), ('src2', 300))
+                 AS m(src_name, concept_id)
+              ON lower(trim(d.source)) = lower(trim(m.src_name))
+        """,
+        "regex_match_filter": r"""
+            SELECT lang, count(*) AS n_docs
+            FROM documents
+            WHERE regexp_matches(text, '(?i)\bthe\b')
+            GROUP BY lang
+        """,
+        "fuzzy_match": """
+            WITH s AS (
+              SELECT doc_id, source,
+                     CASE WHEN greatest(length(lower(trim(source))), length('src1')) = 0 THEN 1.0
+                          ELSE round(1.0 - levenshtein(lower(trim(source)), 'src1')
+                               / CAST(greatest(length(lower(trim(source))), length('src1')) AS DOUBLE), 4)
+                     END AS sim
+              FROM documents)
+            SELECT doc_id, source, sim FROM s WHERE sim > 0.6
+        """,
+        "sanitize_numeric": """
+            SELECT event_id,
+                   TRY_CAST(regexp_replace(props, '[^0-9.-]', '', 'g') AS DOUBLE) AS props_num
+            FROM events
+        """,
+        "id_transform": """
+            SELECT c_custkey,
+                   '11' || lpad(right(regexp_replace(CAST(c_custkey AS VARCHAR), '[^0-9]', '', 'g'), 7), 7, '0') AS id9
+            FROM customer
+        """,
+        "provenance_concat": """
+            SELECT event_id, concat_ws(' | ', 'events', event_type, CAST(event_id AS VARCHAR)) AS prov
+            FROM events
+        """,
+        "date_reformat": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%d/%m/%Y') AS dmy,
+                   strftime(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y'), '%Y-%m-%d') AS iso
+            FROM orders
+        """,
+        "relative_day_date": """
+            SELECT event_id,
+                   strftime(DATE '2016-01-01' + CAST(floor(value) AS INTEGER), '%Y-%m-%d') AS obs_date,
+                   CAST(year(DATE '2016-01-01' + CAST(floor(value) AS INTEGER)) AS INTEGER) AS birth_year
+            FROM events
+        """,
+        "unit_conversion": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity * 0.45359237, 2) AS qty_kg,
+                   round(l_quantity * 2.54, 2) AS qty_cm,
+                   round((l_quantity + 60.0 - 32.0) * 5.0 / 9.0, 2) AS qty_c
+            FROM lineitem
+        """,
+        "when_chain_decode": """
+            SELECT o_orderkey,
+                   CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2
+                        WHEN '3-MEDIUM' THEN 3 WHEN '4-NOT SPECIFIED' THEN 4
+                        WHEN '5-LOW' THEN 5 ELSE 0 END AS INTEGER) AS priority_code
+            FROM orders
+        """,
+        "groupby_count": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "redundancy_report": """
+            SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_tables
+            FROM events GROUP BY user_id HAVING count(DISTINCT event_type) >= 4
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+            FROM documents
+        """,
+        "exact_dup_groups": r"""
+            SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "token_count": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens_ws
+            FROM documents
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 4) AS cosine_sim
+              FROM q CROSS JOIN embeddings e WHERE q.query_id <> e.vec_id),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+        """,
+        # quality_score, lang_detect, ngram_jaccard, minhash_lsh, simhash,
+        # lsh_topk: intentionally no oracle (hash-seeded / heuristic internals
+        # not expressible in portable SQL) — driver records rows-only checks.
+    }

@@ -1,0 +1,97 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side, codegen):
+language ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and rolling-hash document fingerprinting.
+Designed to run over the ``documents`` table at 100 TB: no UDFs, no shuffles —
+every function is a narrow map that pipelines into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Tiny per-language stopword marker sets: enough signal for an n-gram-ish
+# heuristic, cheap enough to inline as literal arrays.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "que"],
+    "es": ["el", "la", "que", "de", "los", "una", "es", "por"],
+}
+
+TOKEN_REGEX = r"'(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]"  # BPE-ish: contraction tails, words, punct
+
+
+def words(text: Column) -> Column:
+    """Lower-cased whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def lang_score(text: Column, lang: str) -> Column:
+    """Fraction of words that are markers of ``lang``."""
+    marker = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    ws = words(text)
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(marker, w)))
+    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws).cast("double")).otherwise(0.0)
+
+
+def detect_lang(text: Column, min_score: float = 0.0) -> Column:
+    """Argmax language over the marker sets; 'und' (undetermined) when no
+    marker hits at all."""
+    scores = [(lang, lang_score(text, lang)) for lang in LANG_MARKERS]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # build reverse-order WHEN chain so earlier langs win ties deterministically
+    for lang, s in reversed(scores):
+        out = F.when((s == best_score) & (best_score > min_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish token count via regexp extraction (words / punctuation /
+    contraction tails) — a deterministic proxy for a real tokenizer's length."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document quality in [0,1]: length band, punctuation ratio,
+    stopword ratio, mean word length band — the standard cheap pre-filters of
+    a training-data pipeline."""
+    n = F.length(text)
+    ws = words(text)
+    n_words = F.size(ws)
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    punct_ratio = F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(0.0)
+    stop_ratio = lang_score(text, "en")
+    mean_wlen = F.when(n_words > 0, n.cast("double") / n_words.cast("double")).otherwise(0.0)
+    len_band = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 20, 0.5).otherwise(0.0)
+    wlen_band = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.3)
+    punct_band = F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), 1.0).otherwise(0.4)
+    stop_band = F.when(stop_ratio > 0.05, 1.0).when(stop_ratio > 0.01, 0.6).otherwise(0.2)
+    return F.round(
+        0.35 * len_band + 0.2 * wlen_band + 0.2 * punct_band + 0.25 * stop_band, 4
+    )
+
+
+def fingerprint64(text: Column, normalize: bool = True) -> Column:
+    """Rolling-hash document fingerprint: xxhash64 over the
+    whitespace-normalized, lower-cased text — the exact-dup key."""
+    t = F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))) if normalize else text
+    return F.xxhash64(t)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), the MinHash/Jaccard unit."""
+    ws = words(text)
+    n = F.size(ws)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    gram = lambda i: F.concat_ws(" ", F.slice(ws, i + 1, k))  # noqa: E731
+    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", ws))).otherwise(F.array().cast("array<string>"))
+    )

@@ -106,19 +106,24 @@ def priority_dedup(
     df: DataFrame,
     key_cols: list[str] | str,
     priority_col: str,
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """First-priority-wins per key (lowest priority value kept) — the exact
     semantic of the reference's source-priority merge
     (``combine_subtables.py:7-18,95-124``): A4 in SURVEY.md §2.
 
-    Implemented as ``row_number() OVER (PARTITION BY key ORDER BY priority)``
-    so ties within a priority keep a deterministic single row.
+    Implemented as ``row_number() OVER (PARTITION BY key ORDER BY priority)``.
+    Ties within a priority break on ``tiebreak_cols`` if given (SQL-portable),
+    else on a full-payload hash (deterministic either way).
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = df.columns
-    w = Window.partitionBy(*keys).orderBy(
-        F.col(priority_col).asc(), F.xxhash64(*[F.col(c) for c in payload_cols]).asc()
+    ties = (
+        [F.col(c).asc() for c in tiebreak_cols]
+        if tiebreak_cols
+        else [F.xxhash64(*[F.col(c) for c in payload_cols]).asc()]
     )
+    w = Window.partitionBy(*keys).orderBy(F.col(priority_col).asc(), *ties)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -1,0 +1,67 @@
+"""Structured-Streaming changelog tail → LakeTable MERGE sink.
+
+The live-tail counterpart of ``plans.replay``: a file-source stream (the
+binlog directory) feeds ``foreachBatch``; each micro-batch goes through the
+same ``merge_into`` path, so LWW resolution, schema evolution, metrics, and
+exactly-once stamping are identical between batch replay and streaming tail.
+
+Exactly-once composition: Spark's streaming checkpoint gives at-least-once
+``foreachBatch`` invocations with a stable ``batch_id``; ``merge_into``'s
+epoch stamp (``stream:{id}``) turns re-invocations into no-ops — the standard
+idempotent-sink construction. No watermark state is needed: the per-row
+``_lsn`` high-water mark in the target table makes late/out-of-order events
+self-correcting (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql import types as T
+
+from ..plans.merge import merge_into
+from ..sources.lake import LakeTable
+
+CHANGELOG_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def stream_changelog(
+    spark: SparkSession,
+    table: LakeTable,
+    changelog_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | None = None,
+    trigger_once: bool = False,
+    salt_partitions: int | None = None,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Tail ``changelog_dir`` (parquet files) and MERGE each micro-batch."""
+    reader = spark.readStream.schema(schema or CHANGELOG_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(changelog_dir)
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        merge_into(
+            table,
+            batch_df,
+            epoch=f"stream:{batch_id}",
+            salt_partitions=salt_partitions,
+            source_name="stream",
+        )
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
