@@ -1,0 +1,107 @@
+"""Driver benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "replay_events_per_sec": ...}
+
+The query set covers the engine's kernels: CDC LWW state, priority dedup,
+merge-shaped joins/aggregations, the TPC-H-style heavy hitters, text/dedup/
+similarity ops — plus a replay-throughput measurement of the actual MERGE
+pipeline (the north-rule metric) on a synthetic change log.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+HEADLINE = [
+    "cdc_lww_state",
+    "priority_dedup",
+    "minmax_periods",
+    "anti_join_delete",
+    "unpivot_lineitem",
+    "surrogate_ids",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "doc_fingerprint",
+    "token_count",
+    "quality_score",
+    "embedding_topk",
+    "minhash_lsh",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    import __spark_entry__ as entrymod
+    from standardized_omop_data_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16)
+    )
+    qs = entrymod.queries()
+
+    # warm-up: JVM/codegen + page cache for the input files
+    qs["cdc_lww_state"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    # Replay throughput (north-rule metric): synthetic log at sf-scaled size.
+    from standardized_omop_data_etl_spark.plans.replay import replay_log
+    from standardized_omop_data_etl_spark.sources.generators import (
+        base_sequences,
+        change_log,
+    )
+    from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+    n_events = int(2_000_000 * float(sf) * 10) or 200_000
+    n_docs = max(n_events // 5, 1000)
+    workdir = "/tmp/bench_replay_tbl"
+    shutil.rmtree(workdir, ignore_errors=True)
+    base = base_sequences(spark, n_docs, seed=42, max_len=64)
+    log = change_log(spark, n_events, n_docs, seed=42, max_len=64).persist()
+    log.count()  # materialize generation outside the timed window
+    tbl = LakeTable.create(
+        spark, workdir, schema=base.schema, key_col="doc_id", num_buckets=32,
+        overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    t0 = time.time()
+    replay_log(tbl, log, num_epochs=2)
+    replay_sec = time.time() - t0
+    timings["cdc_replay"] = round(replay_sec, 3)
+    log.unpersist()
+    shutil.rmtree(workdir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "replay_events": n_events,
+                "replay_events_per_sec": round(n_events / replay_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

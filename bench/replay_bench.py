@@ -1,0 +1,102 @@
+"""Replay throughput benchmark — the north-rule metric.
+
+Generates (or reuses) a deterministic change log + base table on disk, then
+times a full epoch-split replay into a fresh LakeTable and reports
+change-events/sec. Run at two parallelism levels for the scaling-efficiency
+evidence (see BENCH/BASELINE.md):
+
+    spark-submit --master local[8]  --py-files sodes.zip bench/replay_bench.py \
+        --events 2000000 --docs 400000 --epochs 4 --workdir /tmp/replay8
+    spark-submit --master local[32] --py-files sodes.zip bench/replay_bench.py ...
+
+Prints one JSON line: {"events": N, "wall_sec": s, "events_per_sec": r, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import SparkSession
+
+from standardized_omop_data_etl_spark.plans.replay import replay_log
+from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--docs", type=int, default=400_000)
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--max-len", type=int, default=128)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=0, help="salt partitions for hot keys (0=off)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--workdir", default="/tmp/replay_bench")
+    ap.add_argument("--keep-input", action="store_true",
+                    help="reuse input parquet if already present in workdir")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    cores = spark.sparkContext.defaultParallelism
+
+    base_path = os.path.join(args.workdir, "base.parquet")
+    log_path = os.path.join(args.workdir, "log.parquet")
+    if not (args.keep_input and os.path.exists(log_path)):
+        if os.path.exists(args.workdir):
+            shutil.rmtree(args.workdir)
+        os.makedirs(args.workdir, exist_ok=True)
+        base_sequences(spark, args.docs, seed=args.seed, max_len=args.max_len,
+                       partitions=max(cores * 2, 8)).write.parquet(base_path)
+        change_log(spark, args.events, args.docs, seed=args.seed, max_len=args.max_len,
+                   partitions=max(cores * 2, 8)).write.parquet(log_path)
+
+    table_path = os.path.join(args.workdir, f"table_{cores}c_{int(time.time())}")
+    base = spark.read.parquet(base_path)
+    log = spark.read.parquet(log_path)
+
+    # JIT/codegen warm-up on a throwaway table so the timed loop measures
+    # steady-state dataflow, not first-query compilation.
+    warm_path = table_path + "_warm"
+    warm_tbl = LakeTable.create(spark, warm_path, schema=base.schema, key_col="doc_id",
+                                num_buckets=8, overwrite=True)
+    warm_tbl.overwrite_full(base.limit(20_000))
+    replay_log(warm_tbl, log.limit(50_000), num_epochs=1, epoch_prefix="warm")
+    shutil.rmtree(warm_path, ignore_errors=True)
+
+    t0 = time.time()
+    tbl = LakeTable.create(spark, table_path, schema=base.schema, key_col="doc_id",
+                           num_buckets=args.buckets, overwrite=True)
+    tbl.overwrite_full(base)
+    bootstrap_sec = time.time() - t0
+
+    t1 = time.time()
+    results = replay_log(tbl, log, num_epochs=args.epochs,
+                         salt_partitions=args.salt or None)
+    wall = time.time() - t1
+    applied = sum(r.metrics.get("events_seen", 0) for r in results)
+    rows = tbl.read().count()
+    print(json.dumps({
+        "metric": "change_events_per_sec",
+        "events": args.events,
+        "events_seen": applied,
+        "epochs": args.epochs,
+        "docs": args.docs,
+        "cores": cores,
+        "bootstrap_sec": round(bootstrap_sec, 2),
+        "wall_sec": round(wall, 2),
+        "events_per_sec": round(args.events / wall, 1),
+        "final_rows": rows,
+        "buckets": args.buckets,
+        "salt": args.salt,
+    }))
+    shutil.rmtree(table_path, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Two-parallelism scaling-efficiency evidence (north rule ≥0.8, N→4N).
+
+Runs bench/replay_bench.py at local[8] and local[32] on the SAME input,
+interleaved R times, and reports per-level best and median throughput plus
+scaling efficiency = (eps_32 / eps_8) / 4.
+
+Why best-of-N: this sandbox is a Firecracker microVM on a shared host with
+measured noisy-neighbor interference (identical runs vary 3×; idle load
+average >10). Best-of-N approximates the uncontended capability of the
+dataflow at each parallelism level; the median is reported alongside for
+transparency. Results → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ZIP = "/tmp/sodes_bench.zip"
+
+
+def make_zip() -> None:
+    if os.path.exists(ZIP):
+        os.remove(ZIP)
+    subprocess.run(
+        ["zip", "-qr", ZIP, "standardized_omop_data_etl_spark"], cwd=REPO, check=True
+    )
+
+
+def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
+             keep: bool) -> dict:
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]", "--driver-memory", "28g",
+        "--conf", "spark.local.dir=/dev/shm/sparklocal",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={cores * 2}",
+        "--py-files", ZIP,
+        os.path.join(REPO, "bench", "replay_bench.py"),
+        "--events", str(events), "--docs", str(docs), "--epochs", str(epochs),
+        "--buckets", "64", "--workdir", workdir,
+    ]
+    if keep:
+        cmd.append("--keep-input")
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    events = int(os.environ.get("SCALE_EVENTS", "8000000"))
+    docs = int(os.environ.get("SCALE_DOCS", "1600000"))
+    epochs = int(os.environ.get("SCALE_EPOCHS", "1"))
+    reps = int(os.environ.get("SCALE_REPS", "4"))
+    n = int(os.environ.get("SCALE_N", "4"))  # the N of "N and 4N cores"
+    workdir = os.environ.get("SCALE_WORKDIR", "/dev/shm/rb_evidence")
+    out_name = os.environ.get("SCALE_OUT", f"scaling_evidence_{n}_{4*n}.json")
+    pair = (n, 4 * n)
+    make_zip()
+    results: dict[int, list[dict]] = {c: [] for c in pair}
+    first = True
+    for rep in range(reps):
+        for cores in pair:
+            subprocess.run(["sync"])
+            r = run_once(cores, events, docs, epochs, workdir, keep=not first)
+            first = False
+            results[cores].append(r)
+            print(f"rep{rep} local[{cores}]: wall={r['wall_sec']} eps={r['events_per_sec']}",
+                  flush=True)
+    summary = {}
+    for cores, rs in results.items():
+        eps = [r["events_per_sec"] for r in rs]
+        summary[f"local{cores}"] = {
+            "runs_events_per_sec": eps,
+            "best": max(eps),
+            "median": statistics.median(eps),
+        }
+    lo, hi = f"local{pair[0]}", f"local{pair[1]}"
+    summary["scaling_efficiency_best"] = round(
+        summary[hi]["best"] / summary[lo]["best"] / 4.0, 3
+    )
+    summary["scaling_efficiency_median"] = round(
+        summary[hi]["median"] / summary[lo]["median"] / 4.0, 3
+    )
+    summary["config"] = {
+        "events": events, "docs": docs, "epochs": epochs, "reps": reps, "cores": pair,
+    }
+    print(json.dumps(summary))
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
+        json.dump(summary, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

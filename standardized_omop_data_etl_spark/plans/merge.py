@@ -18,26 +18,35 @@ direction flipped to last-writer-wins on LSN; the per-row ``_lineage`` string
 is the reference's ``_source_value`` provenance convention
 (``readme.md:91-97``).
 
-Scale design
-------------
-* The batch is LWW-reduced first (one shuffle, map-side combined, optionally
-  salted — see operators/lww.py).
-* Only the buckets the deduped batch hashes into are read, joined, and
-  rewritten; all other buckets carry forward by manifest reference. A MERGE
-  costs O(batch + touched-bucket data), never O(table).
-* The join is a single shuffle on the key; with fine bucketing at 100 TB
-  (e.g. 4096 buckets) each touched bucket is a bounded read. AQE coalesces
-  and splits skewed join partitions at runtime.
-* Exactly-once: an epoch already stamped in the snapshot properties is a
-  no-op (commit dedup, Iceberg snapshot-summary analogue). The data write and
-  the manifest pointer flip are ordered so a crash between them leaves the
-  table at the previous snapshot; re-running the epoch is then safe because
-  nothing referenced the new files yet.
+Scale architecture — the table payload is NEVER shuffled and NEVER cached:
+
+1. The batch is LWW-reduced (one shuffle, map-side combined, optionally
+   salted) and persisted — it is micro-batch-sized, the only thing we cache.
+2. **Key probe**: the deduped batch joins the target's (key, _lsn) columns
+   only — a 2-column pruned parquet scan of just the hash-touched buckets —
+   to resolve every event's action (insert/update/delete/stale). Per-bucket
+   metrics fall out of one aggregation over this probe.
+3. Buckets whose events all resolved to no-ops are carried forward by
+   manifest reference — no read, no write.
+4. Changed buckets are rewritten copy-on-write: surviving target rows are
+   read bucket-clustered and written back WITHOUT repartitioning (the rows
+   are filtered through a left-anti join against the replaced-key set, which
+   is broadcast when small); the new/updated rows — batch-sized — are the
+   only thing shuffled into bucket order.
+5. Exactly-once: an epoch already stamped in the snapshot properties is a
+   no-op (Iceberg snapshot-summary analogue). Data writes land before the
+   atomic manifest pointer flip, so a crash mid-epoch leaves the previous
+   snapshot current and re-running is safe.
+
+Cost per epoch = O(batch) shuffle + O(changed-bucket data) read/write.
+With fine bucketing (e.g. 4096 buckets on a 100 TB table) a micro-batch
+rewrite touches only the buckets its keys hash into.
 """
 
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -55,6 +64,12 @@ from ..sources.lake import (
 )
 
 APPLIED_EPOCHS_PROP = "applied_epochs"
+
+# Below this many replaced keys, the anti-join filter side is broadcast so
+# the target scan never shuffles. Above it, an explicit shuffle-hash anti
+# join (still only over changed buckets — and never a sort-merge: sorting
+# the table side is pure waste for an existence check).
+BROADCAST_KEYS_MAX = 500_000
 
 
 @dataclass
@@ -84,9 +99,17 @@ def merge_into(
     epoch = str(epoch)
     if _is_applied(table, epoch):
         return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
+    timing = os.environ.get("SODES_MERGE_TIMING") == "1"
+    marks: list[tuple[str, float]] = [("start", time.time())]
+
+    def mark(label: str) -> None:
+        if timing:
+            marks.append((label, time.time()))
 
     key = table.key_col
     num_buckets = table.num_buckets
+    manifest = table.manifest()
+    prev_counts = {int(b): int(c) for b, c in manifest.get("row_counts", {}).items()}
 
     # ---- 1. ALTER-before-MERGE: schema-registry diff on the payload schema.
     payload_schema = T.StructType(
@@ -96,124 +119,149 @@ def merge_into(
     if changes:
         table.alter_schema(evolved, changes)
 
-    # ---- 2. Per-key last-writer-wins within the batch (A4 kernel).
+    # ---- 2. Per-key LWW within the batch (A4 kernel); persist (batch-sized).
     src = lww_latest(
         batch, key, lsn_col, salt_partitions=salt_partitions, count_col="_n_events"
-    )
-
-    # ---- 3. Touched buckets only (collect ≤ num_buckets small ints).
-    src = src.withColumn("_bucket", bucket_expr(key, num_buckets))
-    touched = sorted(
-        r["_bucket"] for r in src.select("_bucket").distinct().collect()
-    )
-
-    # ---- 4. Join target (touched buckets, hidden cols) with deduped batch.
-    tgt = table.read(buckets=touched, include_hidden=True)
-    # typed NULL-pad + widening casts onto the evolved schema (operator P2)
-    s = src.select(
-        F.struct(*conform_exprs(src, evolved)).alias("_s_payload"),
-        F.col(key).alias("_s_key"),
-        F.col(lsn_col).cast("long").alias("_s_lsn"),
-        F.col(op_col).alias("_s_op"),
-        F.col("_n_events").alias("_s_n"),
-    )
-    t = tgt.select(
-        F.struct(*[F.col(c) for c in evolved.fieldNames()]).alias("_t_payload"),
-        F.col(key).alias("_t_key"),
-        F.col(LSN_COL).alias("_t_lsn"),
-        F.col(LINEAGE_COL).alias("_t_lineage"),
-    )
-    j = t.join(s, t["_t_key"] == s["_s_key"], "full_outer")
-
-    newer = F.col("_s_key").isNotNull() & (
-        F.col("_t_key").isNull() | (F.col("_s_lsn") > F.col("_t_lsn"))
-    )
-    action = (
-        F.when(F.col("_s_key").isNull(), F.lit("keep"))
-        .when(newer & (F.col("_s_op") == "delete") & F.col("_t_key").isNotNull(), F.lit("delete"))
-        .when(newer & (F.col("_s_op") == "delete"), F.lit("delete_noop"))
-        .when(newer & F.col("_t_key").isNull(), F.lit("insert"))
-        .when(newer, F.lit("update"))
-        .otherwise(F.lit("stale"))  # matched, src.lsn <= tgt._lsn
-    )
-    take_src = action.isin("insert", "update")
-    # Per-row provenance (reference readme.md:91-97 convention: F11 concat_ws).
-    src_lineage = F.concat_ws(
-        " | ",
-        F.lit(source_name),
-        F.concat(F.lit("epoch="), F.lit(epoch)),
-        F.concat(F.lit("op="), F.col("_s_op")),
-        F.concat(F.lit("lsn="), F.col("_s_lsn").cast("string")),
-    )
-    merged = j.select(
-        F.when(take_src, F.col("_s_payload")).otherwise(F.col("_t_payload")).alias("_p"),
-        F.when(take_src, F.col("_s_lsn")).otherwise(F.col("_t_lsn")).alias(LSN_COL),
-        F.when(take_src, src_lineage).otherwise(F.col("_t_lineage")).alias(LINEAGE_COL),
-        action.alias("_action"),
-        F.coalesce(F.col("_s_n"), F.lit(0)).alias("_n_events"),
-        F.coalesce(F.col("_s_lsn"), F.lit(-1)).alias("_batch_lsn"),
-    ).select(
-        "_p.*", LSN_COL, LINEAGE_COL, "_action", "_n_events", "_batch_lsn"
     ).withColumn("_bucket", bucket_expr(key, num_buckets))
+    src = src.persist(StorageLevel.MEMORY_AND_DISK)
+    touched = sorted(r["_bucket"] for r in src.select("_bucket").distinct().collect())
+    mark("lww+touched")
 
-    merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+    resolved = None
     try:
-        # ---- 5. Per-bucket metrics (north rule: per-partition lineage+metrics).
+        # ---- 3. Key probe: src ⟕ target(key, _lsn) — 2-column pruned scan.
+        # Explicit shuffle-hash: both sides are key-scale; a sort-merge plan
+        # (AQE's occasional pick at borderline sizes) pays two sorts for
+        # nothing, and plan flapping makes throughput bimodal.
+        tgt_keys = table.read(buckets=touched, include_hidden=True, columns=[key, LSN_COL])
+        resolved = src.join(
+            tgt_keys.withColumnRenamed(LSN_COL, "_t_lsn").hint("shuffle_hash"),
+            on=key,
+            how="left",
+        )
+        newer = F.col("_t_lsn").isNull() | (F.col(lsn_col) > F.col("_t_lsn"))
+        action = (
+            F.when(newer & (F.col(op_col) == "delete") & F.col("_t_lsn").isNotNull(), "delete")
+            .when(newer & (F.col(op_col) == "delete"), "delete_noop")
+            .when(newer & F.col("_t_lsn").isNull(), "insert")
+            .when(newer, "update")
+            .otherwise("stale")
+        )
+        resolved = resolved.withColumn("_action", action).persist(StorageLevel.MEMORY_AND_DISK)
+
+        # ---- 4. Per-bucket metrics from the probe (north rule: per-partition
+        # lineage + metrics), and the changed-bucket set.
         stats = (
-            merged.groupBy("_bucket")
+            resolved.groupBy("_bucket")
             .agg(
                 F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("inserts"),
                 F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("updates"),
-                F.sum(
-                    F.when(F.col("_action").isin("delete", "delete_noop"), 1).otherwise(0)
-                ).alias("deletes"),
+                F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("deletes"),
+                F.sum(F.when(F.col("_action") == "delete_noop", 1).otherwise(0)).alias(
+                    "delete_noops"
+                ),
                 F.sum(F.when(F.col("_action") == "stale", 1).otherwise(0)).alias("stale"),
-                F.sum(F.when(F.col("_action") == "keep", 1).otherwise(0)).alias("kept"),
                 F.sum("_n_events").alias("events_seen"),
-                F.max("_batch_lsn").alias("max_lsn"),
+                F.max(F.col(lsn_col)).alias("max_lsn"),
             )
             .collect()
         )
+        mark("probe+stats")
+
         per_bucket: dict[int, dict[str, int]] = {}
-        totals = {k: 0 for k in ("inserts", "updates", "deletes", "stale", "kept", "events_seen")}
+        totals = {
+            k: 0 for k in ("inserts", "updates", "deletes", "delete_noops", "stale", "events_seen")
+        }
         last_lsn = -1
+        changed: list[int] = []
+        new_counts: dict[int, int] = {}
         for r in stats:
             d = r.asDict()
-            b = d.pop("_bucket")
-            last_lsn = max(last_lsn, d.pop("max_lsn"))
-            per_bucket[b] = {k: int(v) for k, v in d.items()}
+            b = int(d.pop("_bucket"))
+            last_lsn = max(last_lsn, int(d.pop("max_lsn")))
+            pb = {k: int(v) for k, v in d.items()}
+            # rows carried through unmodified (stale events keep the target
+            # row, so only updates/deletes displace rows)
+            pb["kept"] = max(prev_counts.get(b, 0) - pb["updates"] - pb["deletes"], 0)
+            per_bucket[b] = pb
             for k in totals:
-                totals[k] += int(d[k])
-        distinct_keys = sum(
-            pb["inserts"] + pb["updates"] + pb["deletes"] + pb["stale"]
-            for pb in per_bucket.values()
-        )
+                totals[k] += pb[k]
+            if pb["inserts"] + pb["updates"] + pb["deletes"] > 0:
+                changed.append(b)
+                new_counts[b] = (
+                    prev_counts.get(b, 0) - pb["deletes"] + pb["inserts"]
+                )
+        changed.sort()
+        n_replaced = sum(per_bucket[b]["updates"] + per_bucket[b]["deletes"] for b in changed)
         metrics = {
             **totals,
             "events_applied": totals["inserts"] + totals["updates"] + totals["deletes"],
             # superseded within batch (LWW dupes) + superseded by target state
-            "conflicts_resolved": (totals["events_seen"] - distinct_keys) + totals["stale"],
+            "conflicts_resolved": (
+                totals["events_seen"]
+                - sum(
+                    pb["inserts"] + pb["updates"] + pb["deletes"] + pb["delete_noops"] + pb["stale"]
+                    for pb in per_bucket.values()
+                )
+            )
+            + totals["stale"],
             "last_lsn": int(last_lsn),
+            "buckets_touched": len(touched),
+            "buckets_rewritten": len(changed),
         }
 
-        # ---- 6. Write surviving rows for touched buckets; commit atomically.
+        # ---- 5. Copy-on-write rewrite of changed buckets only.
         version = table.current_version() + 1
-        out = merged.filter(
-            ~F.col("_action").isin("delete", "delete_noop")
-        ).select(*evolved.fieldNames(), LSN_COL, LINEAGE_COL, "_bucket")
-        new_files = table.write_bucket_files(out, version)
+        new_files: dict[int, list[str]] = {}
         bytes_written = 0
-        for b, fl in new_files.items():
-            nbytes = sum(os.path.getsize(os.path.join(table.path, f)) for f in fl)
-            per_bucket.setdefault(b, {})["bytes_written"] = nbytes
-            bytes_written += nbytes
+        if changed:
+            src_lineage = F.concat_ws(
+                " | ",
+                F.lit(source_name),
+                F.concat(F.lit("epoch="), F.lit(epoch)),
+                F.concat(F.lit("op="), F.col(op_col)),
+                F.concat(F.lit("lsn="), F.col(lsn_col).cast("string")),
+            )
+            new_rows = resolved.filter(F.col("_action").isin("insert", "update")).select(
+                *conform_exprs(resolved, evolved),
+                F.col(lsn_col).cast("long").alias(LSN_COL),
+                src_lineage.alias(LINEAGE_COL),
+                F.col("_bucket"),
+            )
+            replaced_keys = resolved.filter(
+                F.col("_action").isin("update", "delete")
+            ).select(key)
+            replaced_keys = (
+                F.broadcast(replaced_keys)
+                if n_replaced <= BROADCAST_KEYS_MAX
+                else replaced_keys.hint("shuffle_hash")
+            )
+            tgt = table.read(buckets=changed, include_hidden=True)
+            surviving = tgt.join(replaced_keys, on=key, how="left_anti").select(
+                *[F.col(f.name) for f in evolved.fields],
+                F.col(LSN_COL),
+                F.col(LINEAGE_COL),
+                bucket_expr(key, num_buckets).alias("_bucket"),
+            )
+            # surviving rows come from per-bucket files → already clustered and
+            # written shuffle-free; new rows (batch-sized) are repartitioned by
+            # bucket. One union → one write job (the union is narrow: each
+            # side keeps its own partitioning).
+            out = surviving.unionByName(new_rows.repartition(F.col("_bucket")))
+            _, out_dir = table.write_bucket_files(out, version, cluster=False)
+            new_files = table.list_bucket_files(out_dir)
+            for b, fl in new_files.items():
+                nbytes = sum(os.path.getsize(os.path.join(table.path, f)) for f in fl)
+                per_bucket.setdefault(b, {})["bytes_written"] = nbytes
+                bytes_written += nbytes
         metrics["bytes_written"] = bytes_written
+        mark("write")
 
         applied = dict(table.properties().get(APPLIED_EPOCHS_PROP, {}))
         applied[epoch] = {"last_lsn": metrics["last_lsn"], "metrics": metrics}
         new_version = table.commit(
             new_files,
-            replaced_buckets=set(touched),
+            replaced_buckets=set(changed),
             schema=evolved,
             properties_update={APPLIED_EPOCHS_PROP: applied},
             summary={
@@ -223,9 +271,18 @@ def merge_into(
                 "per_bucket": {str(b): v for b, v in per_bucket.items()},
                 "schema_changes": changes,
             },
+            row_counts_update=new_counts,
         )
+        mark("commit")
     finally:
-        merged.unpersist()
+        if resolved is not None:
+            resolved.unpersist()
+        src.unpersist()
+    if timing:
+        spans = ", ".join(
+            f"{label}={t - prev:.2f}s" for (label, t), (_, prev) in zip(marks[1:], marks)
+        )
+        print(f"[merge_into epoch={epoch}] {spans}")
     return MergeResult(
         version=new_version,
         epoch=epoch,

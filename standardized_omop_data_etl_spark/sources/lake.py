@@ -198,6 +198,7 @@ class LakeTable:
             "key_col": key_col,
             "num_buckets": num_buckets,
             "files": {},  # bucket(str) -> [relative data file paths]
+            "row_counts": {},  # bucket(str) -> row count (for merge metrics)
             "properties": properties or {},
             "summary": {"operation": "create", "total_rows": 0},
         }
@@ -276,14 +277,20 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_hidden: bool = False,
+        columns: list[str] | None = None,
     ) -> DataFrame:
-        """Read the table (optionally a bucket subset / older snapshot).
+        """Read the table (optionally a bucket subset / older snapshot /
+        column subset).
 
-        Always reads with the *current manifest schema* explicitly, so files
-        written before a schema evolution surface NULLs / widened ints without
-        any rewrite.
+        Always reads with the *manifest schema* explicitly, so files written
+        before a schema evolution surface NULLs / widened ints without any
+        rewrite. ``columns`` prunes the read schema — parquet only scans
+        those columns (used by the MERGE key-probe, which reads 2 columns of
+        a table whose payload may be 100 TB).
         """
         schema = self.physical_schema(version) if include_hidden else self.schema(version)
+        if columns is not None:
+            schema = T.StructType([f for f in schema.fields if f.name in columns])
         files = self._files(version, buckets)
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -296,15 +303,30 @@ class LakeTable:
         os.makedirs(d, exist_ok=True)
         return d
 
-    def write_bucket_files(self, df: DataFrame, version: int) -> dict[int, list[str]]:
+    def write_bucket_files(
+        self, df: DataFrame, version: int, cluster: bool = True, out_dir: str | None = None
+    ) -> tuple[dict[int, list[str]], str]:
         """Write ``df`` (which must carry an int ``_bucket`` column) as one
-        dir per bucket under a fresh snapshot data dir; returns
-        bucket -> [relative file paths]. ``_bucket`` is a path-only partition
-        column — it is not stored in the parquet row groups and is re-derived
-        from the key on demand.
+        dir per bucket under a snapshot data dir; returns
+        (bucket -> [relative file paths], out_dir). ``_bucket`` is a path-only
+        partition column — not stored in row groups, re-derived from the key.
+
+        ``cluster=True`` repartitions by bucket first (without it every write
+        task would emit a file into every bucket dir). Pass ``cluster=False``
+        for inputs that are already bucket-clustered (e.g. rows read back
+        from this table's own per-bucket files) — that skips shuffling the
+        big side entirely.
         """
-        out_dir = self._new_data_dir(version)
-        df.write.partitionBy("_bucket").mode("append").parquet(out_dir)
+        if out_dir is None:
+            out_dir = self._new_data_dir(version)
+        out = df.repartition(F.col("_bucket")) if cluster else df
+        out.write.partitionBy("_bucket").mode("append").parquet(out_dir)
+        return self.list_bucket_files(out_dir), out_dir
+
+    def list_bucket_files(self, out_dir: str) -> dict[int, list[str]]:
+        """Enumerate the per-bucket parquet files under a snapshot data dir.
+        Call once after all writes into the dir (a shared dir accumulates
+        files across write calls)."""
         files: dict[int, list[str]] = {}
         for entry in os.listdir(out_dir):
             if not entry.startswith("_bucket="):
@@ -326,6 +348,7 @@ class LakeTable:
         schema: T.StructType | None = None,
         properties_update: dict[str, Any] | None = None,
         summary: dict[str, Any] | None = None,
+        row_counts_update: dict[int, int] | None = None,
     ) -> int:
         """Commit a new snapshot: replace files for ``replaced_buckets`` with
         ``new_files_by_bucket``; carry all other buckets forward by reference.
@@ -342,6 +365,12 @@ class LakeTable:
         props = dict(m["properties"])
         if properties_update:
             props.update(properties_update)
+        row_counts = {
+            b: c for b, c in m.get("row_counts", {}).items() if int(b) not in replaced_buckets
+        }
+        for b, c in (row_counts_update or {}).items():
+            if c > 0:
+                row_counts[str(b)] = int(c)
         manifest = {
             "version": new_version,
             "parent": m["version"],
@@ -349,6 +378,7 @@ class LakeTable:
             "key_col": m["key_col"],
             "num_buckets": m["num_buckets"],
             "files": files,
+            "row_counts": row_counts,
             "properties": props,
             "summary": summary or {},
         }
@@ -377,13 +407,26 @@ class LakeTable:
             out = out.withColumn(LSN_COL, df[LSN_COL])
         out = out.withColumn(LINEAGE_COL, F.lit(lineage))
         out = out.withColumn("_bucket", bucket_expr(key, self.num_buckets))
-        out = out.repartition(F.col("_bucket"))
         version = self.current_version() + 1
-        new_files = self.write_bucket_files(out, version)
+        new_files, _ = self.write_bucket_files(out, version)
+        # per-bucket row counts (cheap: re-read only the key column)
+        all_files = [os.path.join(self.path, f) for fl in new_files.values() for f in fl]
+        counts: dict[int, int] = {}
+        if all_files:
+            key_only = T.StructType([self.schema()[key]])
+            cnt = (
+                self.spark.read.schema(key_only)
+                .parquet(*all_files)
+                .groupBy(bucket_expr(key, self.num_buckets).alias("_b"))
+                .count()
+                .collect()
+            )
+            counts = {r["_b"]: r["count"] for r in cnt}
         return self.commit(
             new_files,
             replaced_buckets=set(range(self.num_buckets)),
             summary={"operation": "overwrite"},
+            row_counts_update=counts,
         )
 
     # -- maintenance ---------------------------------------------------------

@@ -1,0 +1,95 @@
+"""LakeTable format tests: snapshots, time travel, schema diff policy, GC,
+multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from standardized_omop_data_etl_spark.operators.multimodal import (
+    decode_features,
+    frame_sample,
+    synthetic_media,
+)
+from standardized_omop_data_etl_spark.sources.lake import (
+    LakeTable,
+    SchemaEvolutionError,
+    diff_schema,
+)
+
+
+def test_diff_schema_policy():
+    t = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.IntegerType()),
+            T.StructField("arr", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    # no-op
+    s, ch = diff_schema(t, t)
+    assert ch == [] and s == T.StructType([T.StructField(f.name, f.dataType, True) for f in t])
+    # widening + addition
+    b = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("arr", T.ArrayType(T.LongType())),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    s, ch = diff_schema(t, b)
+    actions = {(c["action"], c["column"]) for c in ch}
+    assert actions == {
+        ("widen_type", "n"),
+        ("widen_type", "arr"),
+        ("add_column", "extra"),
+    }
+    # narrowing a batch column is fine (table keeps wide type)
+    s2, ch2 = diff_schema(s, t)
+    assert ch2 == [] and dict((f.name, f.dataType) for f in s2)["n"] == T.LongType()
+    # incompatible
+    bad = T.StructType([T.StructField("k", T.IntegerType())])
+    with pytest.raises(SchemaEvolutionError):
+        diff_schema(t, bad)
+
+
+def test_snapshot_expiry_gc(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=df.schema, key_col="k", num_buckets=2
+    )
+    for i in range(4):
+        tbl.overwrite_full(df.withColumn("v", F.col("v") + i))
+    assert tbl.current_version() == 4
+    removed = tbl.expire_snapshots(keep_last=2)
+    assert removed, "expected orphaned files to be removed"
+    # current snapshot still reads fine; expired version gone
+    assert tbl.read().count() == 2
+    with pytest.raises(FileNotFoundError):
+        tbl.manifest(1)
+    # all files referenced by the kept snapshots still exist
+    for v in (3, 4):
+        for fl in tbl.manifest(v)["files"].values():
+            for f in fl:
+                assert os.path.exists(os.path.join(tbl.path, f))
+
+
+def test_multimodal_plumbing(spark):
+    media = synthetic_media(spark, 24, seed=1)
+    feats = decode_features(media).toPandas()
+    assert len(feats) == 24
+    assert set(feats["kind"]) <= {"image", "audio", "video"}
+    assert all(len(v) == 16 for v in feats["features"])
+    assert all(len(d) == 64 for d in feats["digest"])  # sha256 hex
+    # deterministic across runs
+    feats2 = decode_features(synthetic_media(spark, 24, seed=1)).toPandas()
+    assert list(feats["digest"]) == list(feats2["digest"])
+
+    frames = frame_sample(media, every_ms=1000).toPandas()
+    vids = feats[feats["kind"] == "video"]
+    assert set(frames["media_id"]) == set(
+        media.filter(F.col("kind") == "video").toPandas()["media_id"]
+    )
+    if len(frames):
+        assert (frames["frame_ts_ms"] % 1000 == 0).all()

@@ -1,0 +1,240 @@
+"""Operator-library unit tests (SURVEY.md §2 families) on small local frames."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from standardized_omop_data_etl_spark.functions import scalars as FX
+from standardized_omop_data_etl_spark.functions import text_analysis as TX
+from standardized_omop_data_etl_spark.operators import dedup as DD
+from standardized_omop_data_etl_spark.operators import relational as R
+from standardized_omop_data_etl_spark.operators import similarity as SIM
+from standardized_omop_data_etl_spark.operators.lww import lww_latest, priority_dedup
+
+
+def rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+# ---------------------------------------------------------------- LWW / A4
+
+
+def test_lww_latest_basic(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 5, "c")], "k int, lsn int, v string"
+    )
+    out = {r["k"]: r["v"] for r in lww_latest(df, "k", "lsn").collect()}
+    assert out == {1: "b", 2: "c"}
+
+
+def test_lww_duplicate_lsn_deterministic(spark):
+    # two different payloads with the same lsn: winner must be stable
+    df = spark.createDataFrame([(1, 10, "a"), (1, 10, "b")], "k int, lsn int, v string")
+    winners = {lww_latest(df, "k", "lsn").collect()[0]["v"] for _ in range(3)}
+    assert len(winners) == 1
+
+
+def test_priority_dedup_first_wins(spark):
+    df = spark.createDataFrame(
+        [(1, 2, "low"), (1, 1, "high"), (2, 3, "only")], "k int, prio int, v string"
+    )
+    out = {r["k"]: r["v"] for r in priority_dedup(df, "k", "prio").collect()}
+    assert out == {1: "high", 2: "only"}
+
+
+# ---------------------------------------------------------------- joins
+
+
+def test_anti_and_semi_join(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "k int, v string")
+    keys = spark.createDataFrame([(2,)], "k int")
+    assert {r["k"] for r in R.anti_join_delete(df, keys, ["k"]).collect()} == {1, 3}
+    assert {r["k"] for r in R.semi_join_exists(df, keys, ["k"]).collect()} == {2}
+
+
+def test_normalized_join_fanout(spark):
+    left = spark.createDataFrame([("  Aspirin ",), ("unknown",)], "med string")
+    right = spark.createDataFrame(
+        [("aspirin", 1), ("ASPIRIN", 2)], "name string, cid int"
+    )
+    out = R.normalized_join(left, right, "med", "name")
+    got = [(r["med"].strip(), r["cid"]) for r in out.collect()]
+    # one-to-many fan-out: both mapping rows match
+    assert sorted(got) == [("Aspirin", 1), ("Aspirin", 2), ("unknown", None)]
+
+
+def test_fuzzy_ratio_matches_expectations(spark):
+    df = spark.createDataFrame([("temporal", "Temporal"), ("axilla", "temporal")], "a string, b string")
+    sims = [r["s"] for r in df.select(R.fuzzy_ratio(F.col("a"), F.col("b")).alias("s")).collect()]
+    assert sims[0] == 1.0
+    assert sims[1] < 0.5
+
+
+# ---------------------------------------------------------------- reshape
+
+
+def test_unpivot_drops_nulls(spark):
+    df = spark.createDataFrame([(1, 10, None), (2, None, 30)], "id int, a int, b int")
+    out = rows(R.unpivot_items(df, ["id"], ["a", "b"], "item", "val"))
+    assert sorted(out) == [(1, "a", 10), (2, "b", 30)]
+
+
+def test_fanout_concepts(spark):
+    df = spark.createDataFrame([(1,)], "id int")
+    out = rows(R.fanout_concepts(df, [7, 8]))
+    assert sorted(out) == [(1, 7), (1, 8)]
+
+
+def test_surrogate_ids_dense_and_deterministic(spark):
+    df = spark.createDataFrame([(c,) for c in "dcabe"], "k string").repartition(4)
+    out = {r["k"]: r["row_id"] for r in R.surrogate_ids(df, ["k"]).collect()}
+    assert out == {"a": 1, "b": 2, "c": 3, "d": 4, "e": 5}
+
+
+def test_minmax_periods_union(spark):
+    t1 = spark.createDataFrame([(1, "2020-01-05"), (1, "2020-03-01")], "pid int, d1 string")
+    t2 = spark.createDataFrame([(1, "2019-12-25"), (2, "2021-06-01")], "pid int, d2 string")
+    out = {
+        r["pid"]: (str(r["period_start"])[:10], str(r["period_end"])[:10])
+        for r in R.minmax_periods([t1, t2], "pid", [["d1"], ["d2"]]).collect()
+    }
+    assert out[1] == ("2019-12-25", "2020-03-01")
+    assert out[2] == ("2021-06-01", "2021-06-01")
+
+
+# ---------------------------------------------------------------- scalars
+
+
+def test_scalar_functions(spark):
+    df = spark.createDataFrame(
+        [("12abc34.5", "31/12/2020", 100, 98.6, "CASE-NEU123456789")],
+        "dirty string, dmy string, days int, temp_f double, pid string",
+    )
+    r = df.select(
+        FX.sanitize_numeric(F.col("dirty")).alias("num"),
+        FX.reformat_date_dmy(F.col("dmy")).alias("iso"),
+        F.date_format(FX.relative_day_to_date(F.col("days")), "yyyy-MM-dd").alias("d"),
+        FX.fahrenheit_to_celsius(F.col("temp_f")).alias("c"),
+        FX.transform_id_9digit(F.col("pid")).alias("id9"),
+        FX.year_string_to_date(F.lit("1975")).cast("string").alias("y"),
+        FX.year_string_to_date(F.lit("junk")).cast("string").alias("yjunk"),
+        FX.composite_key(F.lit("p1"), F.lit(None)).alias("ck"),
+        FX.default_concept(F.lit("")).alias("dc"),
+    ).collect()[0]
+    assert r["num"] == 1234.5
+    assert r["iso"] == "2020-12-31"
+    assert r["d"] == "2016-04-10"
+    assert r["c"] == 37.0
+    assert r["id9"] == "113456789" and len(r["id9"]) == 9
+    assert r["y"] == "1975-01-01"
+    assert r["yjunk"] == "1900-01-01"
+    assert r["ck"] == "p1_0"
+    assert r["dc"] == 0
+
+
+def test_infer_temperature(spark):
+    df = spark.createDataFrame(
+        [(98.6, None), (37.0, None), (98.6, 1), (37.0, 2), (200.0, None)],
+        "v double, u int",
+    )
+    out = [r["c"] for r in df.select(FX.infer_temperature_celsius(F.col("v"), F.col("u")).alias("c")).collect()]
+    assert out == [37.0, 37.0, 37.0, 37.0, None]
+
+
+# ---------------------------------------------------------------- text / dedup
+
+
+def test_text_analysis(spark):
+    df = spark.createDataFrame(
+        [("The cat and the dog sat in the yard. It is fine.",),
+         ("der hund und die katze ist nicht ein zu",),
+         ("",)],
+        "text string",
+    )
+    out = df.select(
+        TX.detect_lang(F.col("text")).alias("lang"),
+        TX.token_count_ws(F.col("text")).alias("n"),
+        TX.quality_score(F.col("text")).alias("q"),
+        TX.fingerprint64(F.col("text")).alias("fp"),
+    ).collect()
+    assert out[0]["lang"] == "en"
+    assert out[1]["lang"] == "de"
+    assert out[2]["lang"] == "und"
+    assert out[0]["n"] == 11
+    assert 0.0 <= out[0]["q"] <= 1.0
+
+
+def test_shingles_and_jaccard(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "z z z q q")], "id long, text string"
+    )
+    pairs = rows(DD.ngram_jaccard_pairs(df, "text", "id", k=3, threshold=0.3))
+    assert len(pairs) == 1
+    a, b, j = pairs[0]
+    assert (a, b) == (1, 2)
+    # shingles: {abc,bcd,cde} vs {abc,bcd,cdx} → 2/4
+    assert abs(j - 0.5) < 1e-9
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same  text"), (2, "same text"), (3, "other")], "id long, text string"
+    )
+    groups = rows(DD.exact_duplicates(df, "text", "id"))
+    assert len(groups) == 1 and groups[0][1] == 2  # whitespace-normalized dup
+    kept = {r["id"] for r in DD.dedup_exact(df, "text", "id").collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " ok"), (3, "completely different words entirely here")],
+        "id long, text string",
+    )
+    pairs = rows(DD.minhash_lsh_candidates(df, "text", "id", num_hashes=16, bands=8))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " mu"), (3, "totally unrelated content with other tokens")],
+        "id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming_distance"] for r in
+             DD.simhash_duplicates(df, "text", "id", blocks=4).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 16
+
+
+# ---------------------------------------------------------------- similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_cosine_topk_self_consistency(spark, emb):
+    q = emb.filter(F.col("vec_id") < 2)
+    out = SIM.cosine_topk(emb, q, "embedding", "vec_id", k=5)
+    pdf = out.toPandas()
+    assert set(pdf["query_id"]) == {0, 1}
+    assert all(pdf.groupby("query_id")["rank"].max() == 5)
+    assert (pdf["cosine_sim"] <= 1.0 + 1e-9).all()
+    # ranks strictly ordered by sim desc within query
+    for _, g in pdf.groupby("query_id"):
+        sims = list(g.sort_values("rank")["cosine_sim"])
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_topk_recall_vs_brute(spark, emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = SIM.cosine_topk(emb, q, "embedding", "vec_id", k=3).toPandas()
+    ivf = SIM.ivf_topk(
+        emb, q, "embedding", "vec_id", dim=64, k=3, num_centroids=8, nprobe=4
+    ).toPandas()
+    b = set(zip(brute["query_id"], brute["neighbor_id"]))
+    i = set(zip(ivf["query_id"], ivf["neighbor_id"]))
+    recall = len(b & i) / len(b)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
