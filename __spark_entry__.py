@@ -330,7 +330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_simhash(spark, sf):  # rows-only: simhash block-collision pairs
         docs = _t(spark, sf, "documents").limit(200)
-        return DD.simhash_duplicates(docs, "text", "doc_id", blocks=4)
+        return DD.simhash_duplicates(docs, "text", "doc_id", max_distance=16)
 
     def q_lsh_topk(spark, sf):  # rows-only: hyperplane-LSH ANN
         emb = _t(spark, sf, "embeddings")

@@ -27,7 +27,7 @@ def relative_day_to_birth_year(days: Column, index_date: str = EPOCH_DEFAULT) ->
 def year_string_to_date(year_str: Column, lo: int = 1880, hi: int = 2030) -> Column:
     """F3 — year string → Jan-1 date; junk/out-of-range → 1900-01-01 fallback
     (reference ``helpers.py:66-98``)."""
-    y = year_str.cast("int")
+    y = year_str.try_cast("int")  # ANSI-safe: junk year strings → NULL, not error
     return F.when(
         y.isNotNull() & (y >= lo) & (y <= hi), F.make_date(y, F.lit(1), F.lit(1))
     ).otherwise(F.to_date(F.lit(PLACEHOLDER_DATE)))
@@ -84,7 +84,7 @@ def infer_temperature_celsius(value: Column, unit: Column) -> Column:
 def sanitize_numeric(c: Column) -> Column:
     """F9 — strip non-numeric chars then cast; failure → NULL, matching
     ``errors="coerce"`` (reference ``vital_signs--measurement.py:35-59``)."""
-    return F.regexp_replace(c.cast("string"), r"[^0-9.\-]", "").cast("double")
+    return F.regexp_replace(c.cast("string"), r"[^0-9.\-]", "").try_cast("double")
 
 
 def transform_id_9digit(c: Column, prefix: str = "11") -> Column:
@@ -125,7 +125,7 @@ def decode_map(c: Column, mapping: dict, default=None) -> Column:
 def default_concept(c: Column) -> Column:
     """F14 — missing-concept default: NULL/'' → 0 ("No Matching Concept")
     (reference ``helpers.py:42-63``)."""
-    return F.coalesce(F.nullif(c.cast("string"), F.lit("")).cast("long"), F.lit(0))
+    return F.coalesce(F.nullif(c.cast("string"), F.lit("")).try_cast("long"), F.lit(0))
 
 
 def pack_years(years: Column, packs_per_day: Column) -> Column:

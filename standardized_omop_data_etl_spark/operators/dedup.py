@@ -174,22 +174,39 @@ def simhash64(text: Column, k: int = 3) -> Column:
 
 
 def simhash_duplicates(
-    df: DataFrame, text_col: str, id_col: str, k: int = 3, blocks: int = 4
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_distance: int = 3,
+    blocks: int | None = None,
 ) -> DataFrame:
-    """Near-dup candidate pairs by SimHash block match: split the 64-bit
-    signature into ``blocks`` 16-bit blocks; Hamming-close docs share at least
-    one block (pigeonhole) → join on (block_idx, block_value)."""
+    """Near-dup pairs by SimHash block match (Manku et al. pigeonhole): split
+    the 64-bit signature into ``max_distance + 1`` blocks — any pair within
+    ``max_distance`` Hamming bits MUST share at least one whole block → join
+    on (block_idx, block_value), then verify with the exact Hamming distance.
+
+    Scale note: larger ``max_distance`` → narrower blocks → bigger collision
+    buckets. The default (3 ⇒ four 16-bit blocks) is the classic web-dedup
+    setting; recall-oriented callers can raise it at candidate-volume cost."""
+    if blocks is None:
+        blocks = min(max_distance + 1, 32)
     sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col), k).alias("_sim"))
-    width = 64 // blocks
-    mask = (1 << width) - 1
+    # distribute 64 bits over `blocks` contiguous blocks (widths differ by ≤1)
+    base_w, extra = divmod(64, blocks)
+    bounds, off = [], 0
+    for i in range(blocks):
+        w = base_w + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
     blocked = sig.select(
         "_id",
         "_sim",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("_sim", i * width).bitwiseAND(F.lit(mask))
-                    for i in range(blocks)
+                    F.shiftrightunsigned("_sim", off).bitwiseAND(F.lit((1 << w) - 1))
+                    for off, w in bounds
                 ]
             )
         ).alias("_blk", "_val"),
@@ -211,4 +228,6 @@ def simhash_duplicates(
         .distinct()
     )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming_distance"))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming_distance")).filter(
+        F.col("hamming_distance") <= max_distance
+    )

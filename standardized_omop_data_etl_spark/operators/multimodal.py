@@ -124,7 +124,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         F.struct(
             F.lit(64).alias("width"),
             F.lit(64).alias("height"),
-            (F.pmod(F.xxhash64(F.lit(seed), "dur", "id"), F.lit(5000)) + 1000)
+            (F.pmod(F.xxhash64(F.lit(seed), F.lit("dur"), F.col("id")), F.lit(5000)) + 1000)
             .cast("int")
             .alias("duration_ms"),
             F.lit("fake").alias("codec"),

@@ -47,7 +47,9 @@ def _canon_value(v):
     except (TypeError, ValueError):
         pass
     if isinstance(v, float) and v.is_integer():
-        return v
+        # NaN-bearing pandas columns upcast ints to float; fold back so the
+        # strict DataFrame.equals comparison sees identical dtypes/values.
+        return int(v)
     if hasattr(v, "item"):  # numpy scalar → python scalar
         return v.item()
     return v

@@ -159,7 +159,7 @@ def test_text_analysis(spark):
     assert out[0]["lang"] == "en"
     assert out[1]["lang"] == "de"
     assert out[2]["lang"] == "und"
-    assert out[0]["n"] == 11
+    assert out[0]["n"] == 12
     assert 0.0 <= out[0]["q"] <= 1.0
 
 
@@ -203,8 +203,9 @@ def test_simhash_near_dups(spark):
         "id long, text string",
     )
     pairs = {(r["id_a"], r["id_b"]): r["hamming_distance"] for r in
-             DD.simhash_duplicates(df, "text", "id", blocks=4).collect()}
+             DD.simhash_duplicates(df, "text", "id", max_distance=16).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 16
+    assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
 # ---------------------------------------------------------------- similarity
