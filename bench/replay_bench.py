@@ -51,10 +51,13 @@ def main() -> None:
         if os.path.exists(args.workdir):
             shutil.rmtree(args.workdir)
         os.makedirs(args.workdir, exist_ok=True)
+        # FIXED input layout regardless of current parallelism: the same
+        # files feed every cluster size, so a low-core run can't handicap a
+        # high-core run's scan parallelism through --keep-input reuse.
         base_sequences(spark, args.docs, seed=args.seed, max_len=args.max_len,
-                       partitions=max(cores * 2, 8)).write.parquet(base_path)
+                       partitions=64).write.parquet(base_path)
         change_log(spark, args.events, args.docs, seed=args.seed, max_len=args.max_len,
-                   partitions=max(cores * 2, 8)).write.parquet(log_path)
+                   partitions=128).write.parquet(log_path)
 
     table_path = os.path.join(args.workdir, f"table_{cores}c_{int(time.time())}")
     base = spark.read.parquet(base_path)

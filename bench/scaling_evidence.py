@@ -35,7 +35,10 @@ def make_zip() -> None:
 def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
              keep: bool) -> dict:
     cmd = [
-        "spark-submit", "--master", f"local[{cores}]", "--driver-memory", "28g",
+        "spark-submit", "--master", f"local[{cores}]", "--driver-memory", "20g",
+        # fixed pre-touched heap: without it the JVM's grow/shrink mmap churn
+        # shows up as 30-50% system CPU (page-fault storms) and 2-3× noise
+        "--conf", "spark.driver.extraJavaOptions=-Xms20g -XX:+AlwaysPreTouch",
         "--conf", "spark.local.dir=/dev/shm/sparklocal",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.sql.shuffle.partitions={cores * 2}",
@@ -56,7 +59,7 @@ def main() -> None:
     docs = int(os.environ.get("SCALE_DOCS", "1600000"))
     epochs = int(os.environ.get("SCALE_EPOCHS", "1"))
     reps = int(os.environ.get("SCALE_REPS", "4"))
-    n = int(os.environ.get("SCALE_N", "4"))  # the N of "N and 4N cores"
+    n = int(os.environ.get("SCALE_N", "8"))  # the N of "N and 4N cores"
     workdir = os.environ.get("SCALE_WORKDIR", "/dev/shm/rb_evidence")
     out_name = os.environ.get("SCALE_OUT", f"scaling_evidence_{n}_{4*n}.json")
     pair = (n, 4 * n)

@@ -18,35 +18,50 @@ direction flipped to last-writer-wins on LSN; the per-row ``_lineage`` string
 is the reference's ``_source_value`` provenance convention
 (``readme.md:91-97``).
 
-Scale architecture — the table payload is NEVER shuffled and NEVER cached:
+Scale architecture — wide (payload-bearing) data crosses the wire exactly
+once, and the table payload is NEVER shuffled:
 
-1. The batch is LWW-reduced (one shuffle, map-side combined, optionally
-   salted) and persisted — it is micro-batch-sized, the only thing we cache.
-2. **Key probe**: the deduped batch joins the target's (key, _lsn) columns
-   only — a 2-column pruned parquet scan of just the hash-touched buckets —
-   to resolve every event's action (insert/update/delete/stale). Per-bucket
-   metrics fall out of one aggregation over this probe.
-3. Buckets whose events all resolved to no-ops are carried forward by
+1. **One bucket-aligned shuffle.** The batch is LWW-reduced with a
+   ``row_number`` window whose exchange is pinned to ``num_buckets``
+   partitions on the table key. Because the bucket function IS Spark's
+   shuffle hash (``lake.bucket_expr``), shuffle partition i == bucket i, so
+   the winners land bucket-clustered with no second shuffle.
+2. **Scratch spill, not cache.** The winners are written once to a scratch
+   parquet dir partitioned by bucket (~1 file per bucket). Caching
+   array-bearing rows through Spark's columnar in-memory store measured ~10×
+   the cost of a parquet round-trip; every later pass over the winners is a
+   column-pruned scan of this scratch.
+3. **Narrow key probe.** Winner keys join the target's (key, _lsn) columns
+   only — a 2-column pruned parquet scan of just the touched buckets — to
+   resolve every event's action (insert/update/delete/stale). Per-bucket
+   metrics fall out of one aggregation over this narrow probe, which is the
+   only thing persisted (it is key-sized, no payloads).
+4. Buckets whose events all resolved to no-ops are carried forward by
    manifest reference — no read, no write.
-4. Changed buckets are rewritten copy-on-write: surviving target rows are
-   read bucket-clustered and written back WITHOUT repartitioning (the rows
-   are filtered through a left-anti join against the replaced-key set, which
-   is broadcast when small); the new/updated rows — batch-sized — are the
-   only thing shuffled into bucket order.
-5. Exactly-once: an epoch already stamped in the snapshot properties is a
+5. **Broadcast-filtered copy-on-write.** Changed buckets are rewritten with
+   the applied/replaced key sets broadcast as semi/anti join filters, so both
+   the surviving target rows and the new winner rows stream from
+   bucket-clustered files straight to bucket-clustered output files — zero
+   wide shuffles in the write. Past ``BROADCAST_KEYS_MAX`` keys the filters
+   fall back to shuffled joins plus one aligned repartition.
+6. Exactly-once: an epoch already stamped in the snapshot properties is a
    no-op (Iceberg snapshot-summary analogue). Data writes land before the
    atomic manifest pointer flip, so a crash mid-epoch leaves the previous
    snapshot current and re-running is safe.
 
-Cost per epoch = O(batch) shuffle + O(changed-bucket data) read/write.
-With fine bucketing (e.g. 4096 buckets on a 100 TB table) a micro-batch
-rewrite touches only the buckets its keys hash into.
+Cost per epoch = 1 wide shuffle + 1 wide scratch round-trip (both O(batch))
++ narrow key-scale joins + O(changed-bucket data) read/write. With fine
+bucketing (e.g. 4096 buckets on a 100 TB table) a micro-batch rewrite
+touches only the buckets its keys hash into.
 """
 
 from __future__ import annotations
 
 import os
+import re
+import shutil
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -57,6 +72,7 @@ from ..operators.lww import lww_latest
 from ..sources.lake import (
     LINEAGE_COL,
     LSN_COL,
+    DATA_DIR,
     LakeTable,
     bucket_expr,
     conform_exprs,
@@ -65,11 +81,12 @@ from ..sources.lake import (
 
 APPLIED_EPOCHS_PROP = "applied_epochs"
 
-# Below this many replaced keys, the anti-join filter side is broadcast so
-# the target scan never shuffles. Above it, an explicit shuffle-hash anti
-# join (still only over changed buckets — and never a sort-merge: sorting
-# the table side is pure waste for an existence check).
-BROADCAST_KEYS_MAX = 500_000
+# Below this many keys, the semi/anti filter side is broadcast so neither the
+# target scan nor the winner scan shuffles (the keys are short strings; 4M ≈
+# 100-200 MB broadcast — sized for real executors). Above it, shuffled hash
+# joins (never sort-merge: sorting the table side is pure waste for an
+# existence check) plus one bucket-aligned repartition before the write.
+BROADCAST_KEYS_MAX = 4_000_000
 
 
 @dataclass
@@ -84,6 +101,16 @@ class MergeResult:
 
 def _is_applied(table: LakeTable, epoch: str) -> bool:
     return epoch in table.properties().get(APPLIED_EPOCHS_PROP, {})
+
+
+def _sweep_stale_scratch(table: LakeTable) -> None:
+    """Remove scratch dirs orphaned by a crashed merge (single-writer model)."""
+    data_root = os.path.join(table.path, DATA_DIR)
+    if not os.path.isdir(data_root):
+        return
+    for entry in os.listdir(data_root):
+        if entry.startswith("scratch-"):
+            shutil.rmtree(os.path.join(data_root, entry), ignore_errors=True)
 
 
 def merge_into(
@@ -106,10 +133,12 @@ def merge_into(
         if timing:
             marks.append((label, time.time()))
 
+    spark = table.spark
     key = table.key_col
     num_buckets = table.num_buckets
     manifest = table.manifest()
     prev_counts = {int(b): int(c) for b, c in manifest.get("row_counts", {}).items()}
+    _sweep_stale_scratch(table)
 
     # ---- 1. ALTER-before-MERGE: schema-registry diff on the payload schema.
     payload_schema = T.StructType(
@@ -119,22 +148,62 @@ def merge_into(
     if changes:
         table.alter_schema(evolved, changes)
 
-    # ---- 2. Per-key LWW within the batch (A4 kernel); persist (batch-sized).
+    # ---- 2. Per-key LWW (A4 kernel), bucket-aligned, spilled to scratch.
     src = lww_latest(
-        batch, key, lsn_col, salt_partitions=salt_partitions, count_col="_n_events"
-    ).withColumn("_bucket", bucket_expr(key, num_buckets))
-    src = src.persist(StorageLevel.MEMORY_AND_DISK)
-    touched = sorted(r["_bucket"] for r in src.select("_bucket").distinct().collect())
-    mark("lww+touched")
+        batch,
+        key,
+        lsn_col,
+        salt_partitions=salt_partitions,
+        count_col="_n_events",
+        num_partitions=None if salt_partitions else num_buckets,
+    )
+    if salt_partitions:
+        # the salted two-phase reduce leaves an arbitrary partitioning;
+        # re-align once so the scratch write stays ~1 file per bucket
+        src = src.repartition(num_buckets, F.col(key))
+    src = src.withColumn("_bucket", bucket_expr(key, num_buckets))
+    scratch_dir = os.path.join(
+        table.path, DATA_DIR, f"scratch-{re.sub(r'[^A-Za-z0-9_.-]', '_', epoch)}-{uuid.uuid4().hex[:8]}"
+    )
+    src.write.partitionBy("_bucket").parquet(scratch_dir)
+    touched = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(scratch_dir)
+        if d.startswith("_bucket=")
+    )
+    mark("lww+scratch")
 
     resolved = None
     try:
-        # ---- 3. Key probe: src ⟕ target(key, _lsn) — 2-column pruned scan.
-        # Explicit shuffle-hash: both sides are key-scale; a sort-merge plan
-        # (AQE's occasional pick at borderline sizes) pays two sorts for
-        # nothing, and plan flapping makes throughput bimodal.
+        if not touched:  # empty batch: stamp the epoch, move nothing.
+            metrics = {
+                k: 0
+                for k in (
+                    "inserts", "updates", "deletes", "delete_noops", "stale",
+                    "events_seen", "events_applied", "conflicts_resolved",
+                    "bytes_written", "buckets_touched", "buckets_rewritten",
+                )
+            }
+            metrics["last_lsn"] = -1
+            applied = dict(table.properties().get(APPLIED_EPOCHS_PROP, {}))
+            applied[epoch] = {"last_lsn": -1, "metrics": metrics}
+            new_version = table.commit(
+                {}, set(), schema=evolved,
+                properties_update={APPLIED_EPOCHS_PROP: applied},
+                summary={"operation": "merge", "epoch": epoch, "metrics": metrics},
+            )
+            return MergeResult(
+                version=new_version, epoch=epoch, schema_changes=changes, metrics=metrics
+            )
+
+        srcr = spark.read.schema(src.schema).parquet(scratch_dir)
+
+        # ---- 3. Narrow key probe: winner keys ⟕ target(key, _lsn) — both
+        # sides key-sized, payloads never move. Explicit shuffle-hash: a
+        # sort-merge plan (AQE's occasional pick at borderline sizes) pays two
+        # sorts for nothing, and plan flapping makes throughput bimodal.
         tgt_keys = table.read(buckets=touched, include_hidden=True, columns=[key, LSN_COL])
-        resolved = src.join(
+        narrow = srcr.select(key, lsn_col, op_col, "_bucket", "_n_events").join(
             tgt_keys.withColumnRenamed(LSN_COL, "_t_lsn").hint("shuffle_hash"),
             on=key,
             how="left",
@@ -147,7 +216,11 @@ def merge_into(
             .when(newer, "update")
             .otherwise("stale")
         )
-        resolved = resolved.withColumn("_action", action).persist(StorageLevel.MEMORY_AND_DISK)
+        resolved = (
+            narrow.withColumn("_action", action)
+            .select(key, lsn_col, "_bucket", "_n_events", "_action")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
 
         # ---- 4. Per-bucket metrics from the probe (north rule: per-partition
         # lineage + metrics), and the changed-bucket set.
@@ -193,6 +266,7 @@ def merge_into(
                 )
         changed.sort()
         n_replaced = sum(per_bucket[b]["updates"] + per_bucket[b]["deletes"] for b in changed)
+        n_applied = n_replaced + sum(per_bucket[b]["inserts"] for b in changed)
         metrics = {
             **totals,
             "events_applied": totals["inserts"] + totals["updates"] + totals["deletes"],
@@ -210,11 +284,23 @@ def merge_into(
             "buckets_rewritten": len(changed),
         }
 
-        # ---- 5. Copy-on-write rewrite of changed buckets only.
+        # ---- 5. Copy-on-write rewrite of changed buckets only: broadcast
+        # key-set filters keep both inputs bucket-clustered end to end.
         version = table.current_version() + 1
         new_files: dict[int, list[str]] = {}
         bytes_written = 0
         if changed:
+            broadcastable = max(n_applied, n_replaced) <= BROADCAST_KEYS_MAX
+
+            def keyset(df: DataFrame) -> DataFrame:
+                return F.broadcast(df) if broadcastable else df.hint("shuffle_hash")
+
+            applied_keys = keyset(
+                resolved.filter(F.col("_action").isin("insert", "update")).select(key)
+            )
+            replaced_keys = keyset(
+                resolved.filter(F.col("_action").isin("update", "delete")).select(key)
+            )
             src_lineage = F.concat_ws(
                 " | ",
                 F.lit(source_name),
@@ -222,19 +308,11 @@ def merge_into(
                 F.concat(F.lit("op="), F.col(op_col)),
                 F.concat(F.lit("lsn="), F.col(lsn_col).cast("string")),
             )
-            new_rows = resolved.filter(F.col("_action").isin("insert", "update")).select(
-                *conform_exprs(resolved, evolved),
+            new_rows = srcr.join(applied_keys, on=key, how="left_semi").select(
+                *conform_exprs(srcr, evolved),
                 F.col(lsn_col).cast("long").alias(LSN_COL),
                 src_lineage.alias(LINEAGE_COL),
                 F.col("_bucket"),
-            )
-            replaced_keys = resolved.filter(
-                F.col("_action").isin("update", "delete")
-            ).select(key)
-            replaced_keys = (
-                F.broadcast(replaced_keys)
-                if n_replaced <= BROADCAST_KEYS_MAX
-                else replaced_keys.hint("shuffle_hash")
             )
             tgt = table.read(buckets=changed, include_hidden=True)
             surviving = tgt.join(replaced_keys, on=key, how="left_anti").select(
@@ -243,12 +321,10 @@ def merge_into(
                 F.col(LINEAGE_COL),
                 bucket_expr(key, num_buckets).alias("_bucket"),
             )
-            # surviving rows come from per-bucket files → already clustered and
-            # written shuffle-free; new rows (batch-sized) are repartitioned by
-            # bucket. One union → one write job (the union is narrow: each
-            # side keeps its own partitioning).
-            out = surviving.unionByName(new_rows.repartition(F.col("_bucket")))
-            _, out_dir = table.write_bucket_files(out, version, cluster=False)
+            out = surviving.unionByName(new_rows)
+            # broadcast path: both sides stream from per-bucket files, so the
+            # union is already clustered; shuffled path must re-align once.
+            _, out_dir = table.write_bucket_files(out, version, cluster=not broadcastable)
             new_files = table.list_bucket_files(out_dir)
             for b, fl in new_files.items():
                 nbytes = sum(os.path.getsize(os.path.join(table.path, f)) for f in fl)
@@ -277,7 +353,7 @@ def merge_into(
     finally:
         if resolved is not None:
             resolved.unpersist()
-        src.unpersist()
+        shutil.rmtree(scratch_dir, ignore_errors=True)
     if timing:
         spans = ", ".join(
             f"{label}={t - prev:.2f}s" for (label, t), (_, prev) in zip(marks[1:], marks)

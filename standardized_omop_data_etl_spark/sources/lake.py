@@ -60,8 +60,15 @@ def _atomic_write(path: str, payload: str) -> None:
 
 
 def bucket_expr(key_col: str, num_buckets: int):
-    """Deterministic bucket id for a key — same hash on writer and reader."""
-    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(num_buckets)).cast("int")
+    """Deterministic bucket id for a key — same hash on writer and reader.
+
+    Deliberately ``pmod(hash(key), num_buckets)`` — Spark's own Murmur3 shuffle
+    hash — so that ``df.repartition(num_buckets, key)`` places every row in
+    shuffle partition == its bucket id (verified property of HashPartitioning).
+    Any shuffle keyed on the table key is therefore *bucket-aligned*: the LWW
+    window shuffle, the bucket-clustered writes, and the bucketed-join layout
+    all reuse one exchange with zero extra wide shuffles."""
+    return F.pmod(F.hash(F.col(key_col)), F.lit(num_buckets)).cast("int")
 
 
 # ---------------------------------------------------------------------------
@@ -311,15 +318,17 @@ class LakeTable:
         (bucket -> [relative file paths], out_dir). ``_bucket`` is a path-only
         partition column — not stored in row groups, re-derived from the key.
 
-        ``cluster=True`` repartitions by bucket first (without it every write
-        task would emit a file into every bucket dir). Pass ``cluster=False``
-        for inputs that are already bucket-clustered (e.g. rows read back
-        from this table's own per-bucket files) — that skips shuffling the
-        big side entirely.
+        ``cluster=True`` repartitions by the table key into ``num_buckets``
+        partitions; because the bucket function IS Spark's shuffle hash (see
+        ``bucket_expr``), shuffle partition i holds exactly bucket i, so each
+        task writes ONE file into one bucket dir. Pass ``cluster=False`` for
+        inputs that are already bucket-clustered (rows read back from this
+        table's own per-bucket files, or an already-aligned shuffle) — that
+        skips shuffling the big side entirely.
         """
         if out_dir is None:
             out_dir = self._new_data_dir(version)
-        out = df.repartition(F.col("_bucket")) if cluster else df
+        out = df.repartition(self.num_buckets, F.col(self.key_col)) if cluster else df
         out.write.partitionBy("_bucket").mode("append").parquet(out_dir)
         return self.list_bucket_files(out_dir), out_dir
 
