@@ -337,6 +337,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         queries_df = emb.filter(F.col("vec_id") < 3)
         return SIM.lsh_topk(emb, queries_df, "embedding", "vec_id", dim=64, k=3, bits=4, tables=2)
 
+    def q_ivf_topk(spark, sf):  # rows-only: IVF-cell ANN
+        emb = _t(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id") < 3)
+        return SIM.ivf_topk(
+            emb, queries_df, "embedding", "vec_id", dim=64, k=3, num_centroids=8, nprobe=3
+        )
+
+    def q_year_fallback(spark, sf):
+        ev = _t(spark, sf, "events")
+        # junk every 5th row; otherwise years spanning 1800-2099 so both the
+        # parse fallback and the range fallback fire (F3 semantics)
+        yr = F.when(F.pmod("event_id", F.lit(5)) == 0, F.lit("junk")).otherwise(
+            (F.pmod("event_id", F.lit(300)) + 1800).cast("string")
+        )
+        return ev.select(
+            "event_id",
+            FX.year_string_to_date(yr).cast("string").alias("year_date"),
+        )
+
+    def q_temp_inference(spark, sf):
+        ev = _t(spark, sf, "events")
+        # value plays the temperature; unit cycles NULL/1/2 by event_id
+        unit = F.when(F.pmod("event_id", F.lit(3)) == 1, 1).when(
+            F.pmod("event_id", F.lit(3)) == 2, 2
+        )
+        return ev.select(
+            "event_id",
+            FX.infer_temperature_celsius(F.col("value"), unit).alias("temp_c"),
+        )
+
+    def q_composite_key(spark, sf):
+        ev = _t(spark, sf, "events")
+        visit = F.when(F.col("event_type") != "error", F.to_date("ts"))
+        return ev.select(
+            "event_id", FX.composite_key(F.col("user_id"), visit).alias("ck")
+        )
+
+    def q_pack_years(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(FX.pack_years(F.col("l_quantity"), F.col("l_discount")), 4).alias("pack_years"),
+        )
+
+    def q_frame_sample(spark, sf):  # rows-only: multimodal frame fan-out plumbing
+        from standardized_omop_data_etl_spark.operators.multimodal import (
+            frame_sample,
+            synthetic_media,
+        )
+
+        media = synthetic_media(spark, 48, seed=7)
+        return frame_sample(media, every_ms=500).select("media_id", "frame_ts_ms")
+
+    def q_token_count_bpe(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id", TX.token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe")
+        )
+
     return {
         "cdc_lww_state": q_cdc_lww_state,
         "priority_dedup": q_priority_dedup,
@@ -373,6 +433,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
+        "year_fallback": q_year_fallback,
+        "temp_inference": q_temp_inference,
+        "composite_key": q_composite_key,
+        "pack_years": q_pack_years,
+        "frame_sample": q_frame_sample,
+        "token_count_bpe": q_token_count_bpe,
     }
 
 
@@ -569,7 +636,43 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
         """,
+        "year_fallback": """
+            SELECT event_id,
+                   CAST(CASE
+                     WHEN (event_id % 5) = 0 THEN DATE '1900-01-01'
+                     WHEN (1800 + (event_id % 300)) BETWEEN 1880 AND 2030
+                       THEN make_date(CAST(1800 + (event_id % 300) AS INTEGER), 1, 1)
+                     ELSE DATE '1900-01-01' END AS VARCHAR) AS year_date
+            FROM events
+        """,
+        "temp_inference": """
+            SELECT event_id,
+                   CASE WHEN (event_id % 3) = 2 THEN round(value, 2)
+                        WHEN (event_id % 3) = 1 THEN round((value - 32.0) * 5.0 / 9.0, 2)
+                        WHEN value BETWEEN 35.0 AND 40.0 THEN round(value, 2)
+                        WHEN value BETWEEN 95.0 AND 104.0 THEN round((value - 32.0) * 5.0 / 9.0, 2)
+                        ELSE NULL END AS temp_c
+            FROM events
+        """,
+        "composite_key": """
+            SELECT event_id,
+                   concat_ws('_', CAST(user_id AS VARCHAR),
+                     COALESCE(CASE WHEN event_type <> 'error'
+                              THEN CAST(CAST(ts AS DATE) AS VARCHAR) END, '0')) AS ck
+            FROM events
+        """,
+        "pack_years": """
+            SELECT l_orderkey, l_linenumber,
+                   round(l_quantity * l_discount * 365.0, 4) AS pack_years
+            FROM lineitem
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]')) AS BIGINT) AS n_tokens_bpe
+            FROM documents
+        """,
         # quality_score, lang_detect, ngram_jaccard, minhash_lsh, simhash,
-        # lsh_topk: intentionally no oracle (hash-seeded / heuristic internals
-        # not expressible in portable SQL) — driver records rows-only checks.
+        # lsh_topk, ivf_topk, frame_sample: intentionally no oracle
+        # (hash-seeded / heuristic internals not expressible in portable SQL)
+        # — driver records rows-only checks.
     }

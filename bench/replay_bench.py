@@ -80,7 +80,8 @@ def main() -> None:
 
     t1 = time.time()
     results = replay_log(tbl, log, num_epochs=args.epochs,
-                         salt_partitions=args.salt or None)
+                         salt_partitions=args.salt or None,
+                         lsn_range=(0, args.events - 1))
     wall = time.time() - t1
     applied = sum(r.metrics.get("events_seen", 0) for r in results)
     rows = tbl.read().count()

@@ -49,9 +49,14 @@ def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
     ]
     if keep:
         cmd.append("--keep-input")
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            f"replay_bench produced no JSON at local[{cores}]; stderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-15:])
+        )
+    return json.loads(lines[-1])
 
 
 def main() -> None:

@@ -1,0 +1,121 @@
+"""Lake-table maintenance & CDC-out: snapshot diff and re-bucketing.
+
+``snapshot_diff`` is the engine's change-data-capture *output* surface: any
+two snapshot versions of a LakeTable can be diffed into a change stream
+(insert/update/delete rows), so downstream consumers can incrementally follow
+a table the same way this engine follows its upstream. Iceberg calls this the
+``changes`` incremental read.
+
+``rebucket`` evolves ``num_buckets`` — the knob that keeps per-bucket data
+bounded as a table grows from GB to 100 TB. One aligned shuffle rewrites the
+layout; the manifest commit is atomic, and time travel across the boundary
+still works because each snapshot records its own bucket count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources.lake import LINEAGE_COL, LSN_COL, LakeTable, bucket_expr
+
+
+def snapshot_diff(
+    table: LakeTable, from_version: int, to_version: int
+) -> DataFrame:
+    """Row-level changes between two snapshots as a change-event DataFrame
+    ``(op ∈ insert|update|delete, lsn, <payload...>)``.
+
+    Bucket-pruned: buckets whose file lists are identical in both manifests
+    are skipped entirely — only rewritten buckets are read. Within a changed
+    bucket, rows join on the table key; the per-row ``_lsn`` distinguishes
+    an update (key present in both, lsn advanced) from a carry-over (same
+    lsn, dropped from the diff).
+    """
+    m_from = table.manifest(from_version)
+    m_to = table.manifest(to_version)
+    changed = sorted(
+        int(b)
+        for b in set(m_from["files"]) | set(m_to["files"])
+        if m_from["files"].get(b) != m_to["files"].get(b)
+    )
+    key = table.key_col
+    schema_to = table.schema(to_version)
+    payload_cols = [f.name for f in schema_to.fields]
+    empty = table.read(version=to_version, include_hidden=True).limit(0)
+    if not changed:
+        return empty.select(
+            F.lit(None).cast("string").alias("op"),
+            F.col(LSN_COL).alias("lsn"),
+            *[F.col(c) for c in payload_cols],
+        ).limit(0)
+
+    old = table.read(
+        version=from_version, buckets=changed, include_hidden=True, columns=[key, LSN_COL]
+    ).select(F.col(key).alias("_k"), F.col(LSN_COL).alias("_old_lsn"))
+    new = table.read(version=to_version, buckets=changed, include_hidden=True)
+    joined = new.alias("n").join(old.alias("o"), F.col("n." + key) == F.col("o._k"), "full")
+
+    is_insert = F.col("o._k").isNull()
+    is_delete = F.col("n." + key).isNull()
+    is_update = ~is_insert & ~is_delete & (F.col("n." + LSN_COL) != F.col("_old_lsn"))
+    op = (
+        F.when(is_insert, "insert").when(is_delete, "delete").when(is_update, "update")
+    )
+    out_cols = [
+        op.alias("op"),
+        # a vanished row has no stored deletion lsn (no tombstones); emit
+        # old_lsn+1 so LWW replay of the diff supersedes the old row
+        F.coalesce(F.col("n." + LSN_COL), F.col("_old_lsn") + 1).alias("lsn"),
+    ]
+    for c in payload_cols:
+        if c == key:
+            out_cols.append(F.coalesce(F.col("n." + key), F.col("o._k")).alias(key))
+        else:
+            out_cols.append(F.col("n." + c).alias(c))  # deletes carry NULL payload
+    return joined.filter(op.isNotNull()).select(*out_cols)
+
+
+def rebucket(table: LakeTable, new_num_buckets: int) -> int:
+    """Rewrite the table layout into ``new_num_buckets`` buckets (one aligned
+    shuffle of the full table) and commit a new snapshot. Returns the new
+    version. Use when per-bucket volume outgrows the micro-batch MERGE
+    sweet spot."""
+    key = table.key_col
+    df = table.read(include_hidden=True)
+    out = df.withColumn("_bucket", bucket_expr(key, new_num_buckets))
+    version = table.current_version() + 1
+    clustered = out.repartition(new_num_buckets, F.col(key))
+    new_files, out_dir = table.write_bucket_files(clustered, version, cluster=False)
+
+    # per-bucket row counts from the written files (key column only)
+    all_files = [os.path.join(table.path, f) for fl in new_files.values() for f in fl]
+    counts: dict[int, int] = {}
+    if all_files:
+        from pyspark.sql import types as T
+
+        key_only = T.StructType([table.schema()[key]])
+        cnt = (
+            table.spark.read.schema(key_only)
+            .parquet(*all_files)
+            .groupBy(bucket_expr(key, new_num_buckets).alias("_b"))
+            .count()
+            .collect()
+        )
+        counts = {r["_b"]: r["count"] for r in cnt}
+
+    m = table.manifest()
+    manifest = {
+        "version": version,
+        "parent": m["version"],
+        "schema": m["schema"],
+        "key_col": key,
+        "num_buckets": new_num_buckets,
+        "files": {str(b): fl for b, fl in new_files.items() if fl},
+        "row_counts": {str(b): int(c) for b, c in counts.items()},
+        "properties": m["properties"],
+        "summary": {"operation": "rebucket", "from": m["num_buckets"], "to": new_num_buckets},
+    }
+    table._write_manifest(manifest)
+    return version

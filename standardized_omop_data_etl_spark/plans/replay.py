@@ -46,20 +46,29 @@ def replay_log(
     op_col: str = "op",
     salt_partitions: int | None = None,
     epoch_prefix: str = "replay",
+    lsn_range: tuple[int, int] | None = None,
 ) -> list[MergeResult]:
     """Apply an entire change log as ``num_epochs`` MERGE commits.
 
     Epochs are keyed ``{prefix}:{lo}-{hi}`` so the same log replayed with the
     same split is idempotent end-to-end, and a resumed run skips completed
     epochs without reading their data (the filter prunes at the parquet scan).
+
+    ``lsn_range=(min_lsn, max_lsn)`` (inclusive), when the caller already
+    knows it (an offsets manifest / binlog position does), skips the
+    full-log min/max scan — one less serial driver-side job per replay.
     """
-    lo_hi = log.agg(
-        F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
-    ).collect()[0]
-    if lo_hi["lo"] is None:
-        return []
+    if lsn_range is not None:
+        lo_v, hi_v = lsn_range
+    else:
+        lo_hi = log.agg(
+            F.min(lsn_col).alias("lo"), F.max(lsn_col).alias("hi")
+        ).collect()[0]
+        if lo_hi["lo"] is None:
+            return []
+        lo_v, hi_v = int(lo_hi["lo"]), int(lo_hi["hi"])
     results: list[MergeResult] = []
-    for lo, hi in epoch_bounds(int(lo_hi["lo"]), int(lo_hi["hi"]), num_epochs):
+    for lo, hi in epoch_bounds(lo_v, hi_v, num_epochs):
         epoch_id = f"{epoch_prefix}:{lo}-{hi}"
         batch = log.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) < hi))
         results.append(
