@@ -329,7 +329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
 
     def q_simhash(spark, sf):  # rows-only: simhash block-collision pairs
-        docs = _t(spark, sf, "documents").limit(200)
+        docs = _t(spark, sf, "documents")
         return DD.simhash_duplicates(docs, "text", "doc_id", max_distance=16)
 
     def q_lsh_topk(spark, sf):  # rows-only: hyperplane-LSH ANN
