@@ -9,16 +9,16 @@ sort direction (priority-index asc → lsn desc) to get last-writer-wins.
 
 Scale notes
 -----------
-* ``lww_latest`` is ``groupBy(key).agg(max_by(struct(payload), order))`` — one
-  shuffle with map-side partial aggregation (Spark plans partial_max_by before
-  the exchange), so a hot key's events are pre-reduced per input partition
-  before they ever cross the wire. That map-side combine is already the main
-  skew defense.
+* ``lww_latest`` is ``row_number() OVER (PARTITION BY key ORDER BY ord DESC)``
+  — one shuffle + one in-partition sort, fully codegen-friendly. (The
+  max_by(struct(payload)) formulation measured ~10× the CPU: aggregating
+  variable-length payload structs forces ObjectHashAggregate's interpreted
+  sort-based fallback past 128 groups per partition.)
 * For adversarial skew (one doc_id = whole batch), ``salt_partitions`` forces
-  an *explicit* two-phase reduction: phase 1 reduces per (key, salt) after a
-  ``repartition(key, salt)``, phase 2 reduces the ≤S survivors per key. Salt
-  is derived from the order column (deterministic, replay-stable) — never
-  from ``rand()``.
+  an explicit two-phase windowed pick: phase 1 picks per (key, salt) — the
+  window's own exchange spreads a hot key over `salt_partitions` reducers —
+  and phase 2 picks among the ≤S survivors per key. Salt is derived from the
+  order column (deterministic, replay-stable) — never from ``rand()``.
 * Determinism under duplicate order values: the ordering struct appends
   ``xxhash64(payload)`` as a tie-break, so replays and resplits of the log
   produce bit-identical winners even if two different payloads carry the same
@@ -28,13 +28,6 @@ Scale notes
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-
-
-def _order_struct(df: DataFrame, order_col: str, payload_cols: list[str]) -> Column:
-    return F.struct(
-        F.col(order_col).alias("o"),
-        F.xxhash64(*[F.col(c) for c in payload_cols]).alias("tie"),
-    )
 
 
 def lww_latest(
@@ -68,75 +61,43 @@ def lww_latest(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = [c for c in df.columns]
-    ordering = _order_struct(df, order_col, payload_cols)
-    if salt_partitions and salt_partitions > 1:
-        if not descending:
-            ordering = F.struct(
-                (-F.col(order_col)).alias("o"), ordering["tie"].alias("tie")
+    tie = F.xxhash64(*[F.col(c) for c in payload_cols])
+
+    def window_pick(src, part_cols: list[str], order_expr, tie_expr, cnt: str | None):
+        w = Window.partitionBy(*part_cols).orderBy(order_expr, tie_expr)
+        out = src.withColumn("_rn", F.row_number().over(w))
+        if cnt:
+            # same partition+order spec as the row_number → shares one sort
+            # and one WindowExec pass; only the frame differs.
+            out = out.withColumn(
+                cnt,
+                F.sum(F.coalesce(F.col("_w"), F.lit(1)) if "_w" in src.columns else F.lit(1)).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+                ),
             )
-        return _lww(df, keys, ordering, payload_cols, salt_partitions, count_col)
+        return out.filter(F.col("_rn") == 1).drop("_rn")
 
     order_key = F.col(order_col).desc() if descending else F.col(order_col).asc()
-    tie = F.xxhash64(*[F.col(c) for c in payload_cols])
+    if salt_partitions and salt_partitions > 1:
+        # Two-phase salted pick, both phases windowed (codegen sort +
+        # row_number — never ObjectHashAggregate): phase 1 reduces per
+        # (key, salt) so a hot key's rows spread over `salt_partitions`
+        # reducers; phase 2 picks among the ≤S survivors per key.
+        salt = F.pmod(F.xxhash64(F.col(order_col), tie), F.lit(salt_partitions))
+        p1 = window_pick(
+            df.withColumn("_salt", salt), keys + ["_salt"], order_key, tie.desc(), "_w1"
+        )
+        p1 = p1.withColumnRenamed("_w1", "_w")
+        tie2 = F.xxhash64(*[F.col(c) for c in payload_cols])
+        out = window_pick(p1, keys, order_key, tie2.desc(), count_col)
+        return out.drop("_salt", "_w")
+
     src = (
         df.repartition(num_partitions, *[F.col(k) for k in keys])
         if num_partitions
         else df
     )
-    w = Window.partitionBy(*keys).orderBy(order_key, tie.desc())
-    out = src.withColumn("_rn", F.row_number().over(w))
-    if count_col:
-        # same partition+order spec as the row_number → shares one sort and
-        # one WindowExec pass; the unbounded frame just changes the frame.
-        out = out.withColumn(
-            count_col,
-            F.count(F.lit(1)).over(
-                w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-            ),
-        )
-    return out.filter(F.col("_rn") == 1).drop("_rn")
-
-
-def _lww(
-    df: DataFrame,
-    keys: list[str],
-    ordering: Column,
-    payload_cols: list[str],
-    salt_partitions: int | None,
-    count_col: str | None,
-) -> DataFrame:
-    payload = F.struct(*[F.col(c) for c in payload_cols])
-    if salt_partitions and salt_partitions > 1:
-        # Two-phase salted reduce: spread each hot key over `salt_partitions`
-        # sub-aggregations keyed by a deterministic salt of the order struct.
-        salt = F.pmod(F.xxhash64(ordering), F.lit(salt_partitions)).alias("_salt")
-        phase1 = (
-            df.select(*payload_cols, salt, ordering.alias("_ord"), payload.alias("_payload"))
-            .repartition(*[F.col(k) for k in keys], F.col("_salt"))
-            .groupBy(*keys, "_salt")
-            .agg(
-                F.max_by("_payload", "_ord").alias("_payload"),
-                F.max("_ord").alias("_ord"),
-                F.count(F.lit(1)).alias("_n"),
-            )
-        )
-        agg = phase1.groupBy(*keys).agg(
-            F.max_by("_payload", "_ord").alias("_payload"),
-            F.sum("_n").alias("_n"),
-        )
-    else:
-        agg = (
-            df.select(*payload_cols, ordering.alias("_ord"), payload.alias("_payload"))
-            .groupBy(*keys)
-            .agg(
-                F.max_by("_payload", "_ord").alias("_payload"),
-                F.count(F.lit(1)).alias("_n"),
-            )
-        )
-    out_cols = [F.col(f"_payload.{c}").alias(c) for c in payload_cols]
-    if count_col:
-        out_cols.append(F.col("_n").alias(count_col))
-    return agg.select(*out_cols)
+    return window_pick(src, keys, order_key, tie.desc(), count_col)
 
 
 def priority_dedup(
