@@ -18,7 +18,7 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..sources.lake import LINEAGE_COL, LSN_COL, LakeTable, bucket_expr
+from ..sources.lake import DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable, bucket_expr
 
 
 def snapshot_diff(
@@ -52,28 +52,42 @@ def snapshot_diff(
         ).limit(0)
 
     old = table.read(
-        version=from_version, buckets=changed, include_hidden=True, columns=[key, LSN_COL]
-    ).select(F.col(key).alias("_k"), F.col(LSN_COL).alias("_old_lsn"))
+        version=from_version, buckets=changed, include_hidden=True,
+        columns=[key, LSN_COL, DELETED_COL],
+    ).select(
+        F.col(key).alias("_k"),
+        F.col(LSN_COL).alias("_old_lsn"),
+        F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_old_dead"),
+    )
     new = table.read(version=to_version, buckets=changed, include_hidden=True)
     joined = new.alias("n").join(old.alias("o"), F.col("n." + key) == F.col("o._k"), "full")
 
-    is_insert = F.col("o._k").isNull()
-    is_delete = F.col("n." + key).isNull()
-    is_update = ~is_insert & ~is_delete & (F.col("n." + LSN_COL) != F.col("_old_lsn"))
+    new_missing = F.col("n." + key).isNull()
+    old_missing = F.col("o._k").isNull()
+    new_dead = ~new_missing & F.coalesce(F.col("n." + DELETED_COL), F.lit(False))
+    old_dead = ~old_missing & F.col("_old_dead")
+    new_live = ~new_missing & ~new_dead
+    old_live = ~old_missing & ~old_dead
+    advanced = (
+        ~new_missing & ~old_missing & (F.col("n." + LSN_COL) != F.col("_old_lsn"))
+    )
     op = (
-        F.when(is_insert, "insert").when(is_delete, "delete").when(is_update, "update")
+        F.when(new_live & ~old_live, "insert")  # fresh key or revived tombstone
+        .when(new_live & old_live & advanced, "update")
+        .when(old_live & (new_dead | new_missing), "delete")
     )
     out_cols = [
         op.alias("op"),
-        # a vanished row has no stored deletion lsn (no tombstones); emit
-        # old_lsn+1 so LWW replay of the diff supersedes the old row
+        # tombstones carry the true deletion LSN; a row physically vacuumed
+        # between the snapshots (new side missing) falls back to old_lsn+1
         F.coalesce(F.col("n." + LSN_COL), F.col("_old_lsn") + 1).alias("lsn"),
     ]
     for c in payload_cols:
         if c == key:
             out_cols.append(F.coalesce(F.col("n." + key), F.col("o._k")).alias(key))
         else:
-            out_cols.append(F.col("n." + c).alias(c))  # deletes carry NULL payload
+            # deletes carry NULL payload (tombstone payload is already NULL)
+            out_cols.append(F.col("n." + c).alias(c))
     return joined.filter(op.isNotNull()).select(*out_cols)
 
 
@@ -89,16 +103,20 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> int:
     clustered = out.repartition(new_num_buckets, F.col(key))
     new_files, out_dir = table.write_bucket_files(clustered, version, cluster=False)
 
-    # per-bucket row counts from the written files (key column only)
+    # per-bucket VISIBLE row counts from the written files (key + tombstone
+    # marker only — tombstones are physical rows but not table rows)
     all_files = [os.path.join(table.path, f) for fl in new_files.values() for f in fl]
     counts: dict[int, int] = {}
     if all_files:
         from pyspark.sql import types as T
 
-        key_only = T.StructType([table.schema()[key]])
+        narrow = T.StructType(
+            [table.schema()[key], T.StructField(DELETED_COL, T.BooleanType(), True)]
+        )
         cnt = (
-            table.spark.read.schema(key_only)
+            table.spark.read.schema(narrow)
             .parquet(*all_files)
+            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             .groupBy(bucket_expr(key, new_num_buckets).alias("_b"))
             .count()
             .collect()
@@ -119,3 +137,43 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> int:
     }
     table._write_manifest(manifest)
     return version
+
+
+def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
+    """GC tombstone rows whose deletion LSN is below ``watermark_lsn`` (i.e.
+    the upstream can no longer deliver events older than the watermark, so
+    the resurrection guard is no longer needed). Rewrites only buckets that
+    actually contain qualifying tombstones; returns the new version (or the
+    current one if nothing qualified)."""
+    key = table.key_col
+    num_buckets = table.num_buckets
+    hidden = table.read(include_hidden=True, columns=[key, LSN_COL, DELETED_COL])
+    dead = hidden.filter(
+        F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
+    )
+    buckets = sorted(
+        r["_b"]
+        for r in dead.select(bucket_expr(key, num_buckets).alias("_b")).distinct().collect()
+    )
+    if not buckets:
+        return table.current_version()
+    version = table.current_version() + 1
+    keep = table.read(buckets=buckets, include_hidden=True).filter(
+        ~(
+            F.coalesce(F.col(DELETED_COL), F.lit(False))
+            & (F.col(LSN_COL) < watermark_lsn)
+        )
+    ).withColumn("_bucket", bucket_expr(key, num_buckets))
+    new_files, out_dir = table.write_bucket_files(keep, version, cluster=False)
+    # visible counts are unchanged by tombstone GC — re-stamp them for the
+    # rewritten buckets (commit drops counts of replaced buckets otherwise)
+    prev_counts = {
+        int(b): int(c) for b, c in table.manifest().get("row_counts", {}).items()
+    }
+    return table.commit(
+        new_files,
+        replaced_buckets=set(buckets),
+        summary={"operation": "vacuum_tombstones", "watermark_lsn": watermark_lsn,
+                 "buckets": buckets},
+        row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
+    )

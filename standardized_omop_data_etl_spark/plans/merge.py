@@ -3,14 +3,20 @@
 Semantics (the north-star contract, mirroring Iceberg MERGE):
 
     MERGE INTO tgt USING (LWW-deduped batch) src ON tgt.key = src.key
-      WHEN MATCHED AND src.lsn > tgt._lsn AND src.op = 'delete' THEN DELETE
+      WHEN MATCHED AND src.lsn > tgt._lsn AND src.op = 'delete' THEN TOMBSTONE
       WHEN MATCHED AND src.lsn > tgt._lsn                       THEN UPDATE
       WHEN MATCHED (src.lsn <= tgt._lsn)                        THEN KEEP  -- stale / replayed
-      WHEN NOT MATCHED AND src.op <> 'delete'                   THEN INSERT
+      WHEN NOT MATCHED AND src.op = 'delete'                    THEN TOMBSTONE
+      WHEN NOT MATCHED                                          THEN INSERT
 
 insert/update/upsert all write the payload (only ``delete`` is special), so
 out-of-order and duplicate delivery are self-correcting: a replayed or late
-event loses to the per-row ``_lsn`` high-water mark.
+event loses to the per-row ``_lsn`` high-water mark. Deletes write hidden
+TOMBSTONE rows (NULL payload, ``_deleted=true``, the deletion LSN) rather
+than dropping the row, so the watermark survives the delete and a stale
+update delivered after it — in any later micro-batch, any order — still
+loses. Visible reads filter tombstones; ``vacuum_tombstones`` GCs them once
+the stream's low-watermark passes.
 
 Reference parity: this generalizes the reference's merge kernel
 (``combine_subtables.py:42-172`` — first-source-wins per key) with the sort
@@ -70,6 +76,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..operators.lww import lww_latest
 from ..sources.lake import (
+    DELETED_COL,
     LINEAGE_COL,
     LSN_COL,
     DATA_DIR,
@@ -179,9 +186,10 @@ def merge_into(
             metrics = {
                 k: 0
                 for k in (
-                    "inserts", "updates", "deletes", "delete_noops", "stale",
-                    "events_seen", "events_applied", "conflicts_resolved",
-                    "bytes_written", "buckets_touched", "buckets_rewritten",
+                    "inserts", "updates", "revives", "deletes", "redeletes",
+                    "tombstone_inserts", "stale", "events_seen", "events_applied",
+                    "conflicts_resolved", "bytes_written", "buckets_touched",
+                    "buckets_rewritten",
                 )
             }
             metrics["last_lsn"] = -1
@@ -202,19 +210,39 @@ def merge_into(
         # sides key-sized, payloads never move. Explicit shuffle-hash: a
         # sort-merge plan (AQE's occasional pick at borderline sizes) pays two
         # sorts for nothing, and plan flapping makes throughput bimodal.
-        tgt_keys = table.read(buckets=touched, include_hidden=True, columns=[key, LSN_COL])
+        tgt_keys = table.read(
+            buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
+        )
         narrow = srcr.select(key, lsn_col, op_col, "_bucket", "_n_events").join(
-            tgt_keys.withColumnRenamed(LSN_COL, "_t_lsn").hint("shuffle_hash"),
+            tgt_keys.withColumnRenamed(LSN_COL, "_t_lsn")
+            .withColumnRenamed(DELETED_COL, "_t_del")
+            .hint("shuffle_hash"),
             on=key,
             how="left",
         )
+        # Action matrix vs (target present?, target tombstone?, op):
+        #   insert           no target,        op != delete  → new visible row
+        #   tombstone_insert no target,        op == delete  → guard tombstone
+        #   revive           target tombstone, op != delete  → visible +1
+        #   update           target live,      op != delete  → visible ±0
+        #   redelete         target tombstone, op == delete  → refresh tombstone
+        #   delete           target live,      op == delete  → visible −1
+        #   stale            src.lsn <= target._lsn          → no-op (LWW)
+        # Deletes WRITE a tombstone row carrying the deletion LSN — the
+        # watermark survives the delete, so a stale update delivered
+        # out-of-order after the delete cannot resurrect the key.
         newer = F.col("_t_lsn").isNull() | (F.col(lsn_col) > F.col("_t_lsn"))
+        t_missing = F.col("_t_lsn").isNull()
+        t_dead = F.coalesce(F.col("_t_del"), F.lit(False))
+        is_del = F.col(op_col) == "delete"
         action = (
-            F.when(newer & (F.col(op_col) == "delete") & F.col("_t_lsn").isNotNull(), "delete")
-            .when(newer & (F.col(op_col) == "delete"), "delete_noop")
-            .when(newer & F.col("_t_lsn").isNull(), "insert")
-            .when(newer, "update")
-            .otherwise("stale")
+            F.when(~newer, "stale")
+            .when(t_missing & is_del, "tombstone_insert")
+            .when(t_missing, "insert")
+            .when(t_dead & is_del, "redelete")
+            .when(t_dead, "revive")
+            .when(is_del, "delete")
+            .otherwise("update")
         )
         resolved = (
             narrow.withColumn("_action", action)
@@ -224,16 +252,24 @@ def merge_into(
 
         # ---- 4. Per-bucket metrics from the probe (north rule: per-partition
         # lineage + metrics), and the changed-bucket set.
+        _ACTIONS = (
+            "inserts", "updates", "revives", "deletes", "redeletes",
+            "tombstone_inserts", "stale",
+        )
+        _ACTION_OF = {
+            "inserts": "insert", "updates": "update", "revives": "revive",
+            "deletes": "delete", "redeletes": "redelete",
+            "tombstone_inserts": "tombstone_insert", "stale": "stale",
+        }
         stats = (
             resolved.groupBy("_bucket")
             .agg(
-                F.sum(F.when(F.col("_action") == "insert", 1).otherwise(0)).alias("inserts"),
-                F.sum(F.when(F.col("_action") == "update", 1).otherwise(0)).alias("updates"),
-                F.sum(F.when(F.col("_action") == "delete", 1).otherwise(0)).alias("deletes"),
-                F.sum(F.when(F.col("_action") == "delete_noop", 1).otherwise(0)).alias(
-                    "delete_noops"
-                ),
-                F.sum(F.when(F.col("_action") == "stale", 1).otherwise(0)).alias("stale"),
+                *[
+                    F.sum(
+                        F.when(F.col("_action") == _ACTION_OF[name], 1).otherwise(0)
+                    ).alias(name)
+                    for name in _ACTIONS
+                ],
                 F.sum("_n_events").alias("events_seen"),
                 F.max(F.col(lsn_col)).alias("max_lsn"),
             )
@@ -242,9 +278,7 @@ def merge_into(
         mark("probe+stats")
 
         per_bucket: dict[int, dict[str, int]] = {}
-        totals = {
-            k: 0 for k in ("inserts", "updates", "deletes", "delete_noops", "stale", "events_seen")
-        }
+        totals = {k: 0 for k in (*_ACTIONS, "events_seen")}
         last_lsn = -1
         changed: list[int] = []
         new_counts: dict[int, int] = {}
@@ -253,30 +287,36 @@ def merge_into(
             b = int(d.pop("_bucket"))
             last_lsn = max(last_lsn, int(d.pop("max_lsn")))
             pb = {k: int(v) for k, v in d.items()}
-            # rows carried through unmodified (stale events keep the target
-            # row, so only updates/deletes displace rows)
-            pb["kept"] = max(prev_counts.get(b, 0) - pb["updates"] - pb["deletes"], 0)
+            pb["writes"] = sum(pb[k] for k in _ACTIONS if k != "stale")
+            # visible rows carried through unmodified
+            pb["kept"] = max(
+                prev_counts.get(b, 0) - pb["updates"] - pb["deletes"], 0
+            )
             per_bucket[b] = pb
             for k in totals:
                 totals[k] += pb[k]
-            if pb["inserts"] + pb["updates"] + pb["deletes"] > 0:
+            if pb["writes"] > 0:
                 changed.append(b)
                 new_counts[b] = (
-                    prev_counts.get(b, 0) - pb["deletes"] + pb["inserts"]
+                    prev_counts.get(b, 0) + pb["inserts"] + pb["revives"] - pb["deletes"]
                 )
         changed.sort()
-        n_replaced = sum(per_bucket[b]["updates"] + per_bucket[b]["deletes"] for b in changed)
-        n_applied = n_replaced + sum(per_bucket[b]["inserts"] for b in changed)
+        # keys whose existing target row (live or tombstone) is displaced
+        n_replaced = sum(
+            per_bucket[b]["updates"] + per_bucket[b]["deletes"]
+            + per_bucket[b]["revives"] + per_bucket[b]["redeletes"]
+            for b in changed
+        )
+        n_applied = sum(per_bucket[b]["writes"] for b in changed)
         metrics = {
             **totals,
-            "events_applied": totals["inserts"] + totals["updates"] + totals["deletes"],
+            "events_applied": (
+                totals["inserts"] + totals["updates"] + totals["revives"] + totals["deletes"]
+            ),
             # superseded within batch (LWW dupes) + superseded by target state
             "conflicts_resolved": (
                 totals["events_seen"]
-                - sum(
-                    pb["inserts"] + pb["updates"] + pb["deletes"] + pb["delete_noops"] + pb["stale"]
-                    for pb in per_bucket.values()
-                )
+                - sum(pb["writes"] + pb["stale"] for pb in per_bucket.values())
             )
             + totals["stale"],
             "last_lsn": int(last_lsn),
@@ -296,10 +336,12 @@ def merge_into(
                 return F.broadcast(df) if broadcastable else df.hint("shuffle_hash")
 
             applied_keys = keyset(
-                resolved.filter(F.col("_action").isin("insert", "update")).select(key)
+                resolved.filter(F.col("_action") != "stale").select(key)
             )
             replaced_keys = keyset(
-                resolved.filter(F.col("_action").isin("update", "delete")).select(key)
+                resolved.filter(
+                    F.col("_action").isin("update", "delete", "revive", "redelete")
+                ).select(key)
             )
             src_lineage = F.concat_ws(
                 " | ",
@@ -312,6 +354,7 @@ def merge_into(
                 *conform_exprs(srcr, evolved),
                 F.col(lsn_col).cast("long").alias(LSN_COL),
                 src_lineage.alias(LINEAGE_COL),
+                (F.col(op_col) == "delete").alias(DELETED_COL),
                 F.col("_bucket"),
             )
             tgt = table.read(buckets=changed, include_hidden=True)
@@ -319,6 +362,7 @@ def merge_into(
                 *[F.col(f.name) for f in evolved.fields],
                 F.col(LSN_COL),
                 F.col(LINEAGE_COL),
+                F.col(DELETED_COL),
                 bucket_expr(key, num_buckets).alias("_bucket"),
             )
             out = surviving.unionByName(new_rows)

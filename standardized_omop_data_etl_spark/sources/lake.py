@@ -44,6 +44,11 @@ CURRENT_PTR = "_current"
 # Hidden physical columns (present in data files, invisible to table readers).
 LSN_COL = "_lsn"  # per-row last-applied LSN: powers MATCHED AND src.lsn > tgt.lsn
 LINEAGE_COL = "_lineage"  # per-row provenance string (reference readme.md:91-97 analogue)
+# Tombstone marker: deletes keep a hidden row carrying the deletion LSN, so a
+# stale (out-of-order) update delivered AFTER the delete still loses the LWW
+# comparison instead of resurrecting the key. Visible reads filter these out;
+# vacuum_tombstones (plans.maintenance) GCs them past a watermark.
+DELETED_COL = "_deleted"
 
 
 class SchemaEvolutionError(ValueError):
@@ -255,6 +260,7 @@ class LakeTable:
             + [
                 T.StructField(LSN_COL, T.LongType(), True),
                 T.StructField(LINEAGE_COL, T.StringType(), True),
+                T.StructField(DELETED_COL, T.BooleanType(), True),
             ]
         )
 
@@ -295,13 +301,32 @@ class LakeTable:
         those columns (used by the MERGE key-probe, which reads 2 columns of
         a table whose payload may be 100 TB).
         """
-        schema = self.physical_schema(version) if include_hidden else self.schema(version)
-        if columns is not None:
-            schema = T.StructType([f for f in schema.fields if f.name in columns])
+        phys = self.physical_schema(version)
+        if include_hidden:
+            schema = (
+                phys
+                if columns is None
+                else T.StructType([f for f in phys.fields if f.name in columns])
+            )
+            files = self._files(version, buckets)
+            if not files:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(*files)
+        # visible read: scan the requested columns + the tombstone marker,
+        # filter tombstones (files predating tombstones read NULL = live)
+        user = self.schema(version)
+        want = [f.name for f in user.fields] if columns is None else list(columns)
+        out_schema = T.StructType([f for f in user.fields if f.name in want])
         files = self._files(version, buckets)
         if not files:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*files)
+            return self.spark.createDataFrame([], out_schema)
+        read_schema = T.StructType(
+            [f for f in phys.fields if f.name in want or f.name == DELETED_COL]
+        )
+        df = self.spark.read.schema(read_schema).parquet(*files)
+        return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
+            *[F.col(f.name) for f in out_schema.fields]
+        )
 
     # -- writes --------------------------------------------------------------
 
@@ -415,6 +440,7 @@ class LakeTable:
         else:
             out = out.withColumn(LSN_COL, df[LSN_COL])
         out = out.withColumn(LINEAGE_COL, F.lit(lineage))
+        out = out.withColumn(DELETED_COL, F.lit(False))
         out = out.withColumn("_bucket", bucket_expr(key, self.num_buckets))
         version = self.current_version() + 1
         new_files, _ = self.write_bucket_files(out, version)

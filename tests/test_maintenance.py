@@ -98,3 +98,36 @@ def test_json_changelog_invalid_lines(spark):
     rows = {r["op"] for r in parsed.collect()}
     assert rows == {"invalid", "insert"}
     assert parsed.filter("op = 'invalid'").count() == 2
+
+
+def test_vacuum_tombstones(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from standardized_omop_data_etl_spark.plans.maintenance import vacuum_tombstones
+    from standardized_omop_data_etl_spark.plans.merge import merge_into
+    from standardized_omop_data_etl_spark.sources.lake import DELETED_COL
+
+    base = base_sequences(spark, 100, seed=8, max_len=16)
+    log = change_log(spark, 300, 100, seed=8, max_len=16)
+    tbl = _table(spark, tmp_path, base)
+    merge_into(tbl, log, epoch="all")
+    visible_before = canonicalize(tbl.read().toPandas())
+    n_tomb = (
+        tbl.read(include_hidden=True)
+        .filter(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        .count()
+    )
+    assert n_tomb > 0
+    vacuum_tombstones(tbl, watermark_lsn=10**9)
+    n_after = (
+        tbl.read(include_hidden=True)
+        .filter(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        .count()
+    )
+    assert n_after == 0
+    pd.testing.assert_frame_equal(canonicalize(tbl.read().toPandas()), visible_before)
+    # after vacuum, a stale update CAN insert again (watermark contract says
+    # the upstream no longer delivers below-watermark events; simulate a
+    # post-watermark event instead and check normal operation continues)
+    r = merge_into(tbl, log.limit(0), epoch="empty-after-vacuum")
+    assert r.metrics["events_applied"] == 0

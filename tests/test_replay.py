@@ -194,3 +194,61 @@ def test_per_row_token_equality_through_merge(spark, tmp_path, fixtures):
     for doc_id, e in exp.items():
         g = got.loc[doc_id]
         assert list(g) == list(e), f"token mismatch for {doc_id}"
+
+
+def test_out_of_order_batches_no_resurrection(spark, tmp_path):
+    """A delete applied in an earlier micro-batch must not be undone by a
+    stale update arriving in a later batch (tombstone watermark), and a
+    genuinely newer update must revive the key."""
+    from pyspark.sql import Row
+
+    base = base_sequences(spark, 10, seed=9, max_len=8)
+    tbl = make_table(spark, tmp_path, base, "ooo")
+    k = "doc-00000003"
+
+    def ev(lsn, op, toks):
+        return Row(lsn=lsn, op=op, doc_id=k,
+                   tokens=toks, n_tok=len(toks) if toks else None,
+                   source="web" if toks else None)
+
+    sch = "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string"
+    # batch with the DELETE (lsn 100) lands first
+    merge_into(tbl, spark.createDataFrame([ev(100, "delete", None)], sch), epoch="b2")
+    assert tbl.read().filter(f"doc_id = '{k}'").count() == 0
+    # stale update (lsn 50) arrives later — must NOT resurrect
+    r = merge_into(tbl, spark.createDataFrame([ev(50, "update", [1, 2])], sch), epoch="b1")
+    assert r.metrics["stale"] == 1
+    assert tbl.read().filter(f"doc_id = '{k}'").count() == 0
+    # newer update (lsn 150) revives the key
+    r = merge_into(tbl, spark.createDataFrame([ev(150, "update", [7, 8, 9])], sch), epoch="b3")
+    assert r.metrics["revives"] == 1
+    got = tbl.read().filter(f"doc_id = '{k}'").collect()
+    assert len(got) == 1 and list(got[0]["tokens"]) == [7, 8, 9]
+    # delete on a never-seen key writes a guard tombstone too
+    r = merge_into(
+        tbl,
+        spark.createDataFrame([Row(lsn=200, op="delete", doc_id="doc-09999999",
+                                   tokens=None, n_tok=None, source=None)], sch),
+        epoch="b4",
+    )
+    assert r.metrics["tombstone_inserts"] == 1
+    r = merge_into(
+        tbl,
+        spark.createDataFrame([Row(lsn=120, op="insert", doc_id="doc-09999999",
+                                   tokens=[5], n_tok=1, source="web")], sch),
+        epoch="b5",
+    )
+    assert r.metrics["stale"] == 1
+    assert tbl.read().filter("doc_id = 'doc-09999999'").count() == 0
+
+
+def test_arbitrary_batch_order_matches_oracle(spark, tmp_path, fixtures):
+    """Split the log by lsn mod 3 and apply the batches in a scrambled
+    order: the tombstoned LWW merge must still converge to the oracle."""
+    from pyspark.sql import functions as F
+
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "scrambled")
+    for part in (2, 0, 1):
+        merge_into(tbl, log.filter(F.pmod("lsn", F.lit(3)) == part), epoch=f"part{part}")
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
