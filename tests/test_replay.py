@@ -252,3 +252,45 @@ def test_arbitrary_batch_order_matches_oracle(spark, tmp_path, fixtures):
     for part in (2, 0, 1):
         merge_into(tbl, log.filter(F.pmod("lsn", F.lit(3)) == part), epoch=f"part{part}")
     assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_schema_evolution_array_element_widening(spark, tmp_path, fixtures):
+    """A3.3: a batch whose tokens arrive as array<long> (values still fit)
+    widens the table column; token values stay element-exact."""
+    from pyspark.sql import functions as F
+
+    base, log, base_pdf, log_pdf = fixtures
+    wide = log.withColumn("tokens", F.col("tokens").cast("array<long>"))
+    tbl = make_table(spark, tmp_path, base, "arrwide")
+    results = replay_log(tbl, wide, num_epochs=2)
+    changes = [c for r in results for c in r.schema_changes]
+    assert any(
+        c["action"] == "widen_type" and c["column"] == "tokens" for c in changes
+    )
+    assert dict(tbl.read().dtypes)["tokens"] == "array<bigint>"
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_replay_files_glob_discovery(spark, tmp_path, fixtures):
+    """S5: directory-discovered file segments apply as one epoch per file;
+    re-listing the directory re-applies nothing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from standardized_omop_data_etl_spark.plans.replay import replay_files
+
+    base, log, base_pdf, log_pdf = fixtures
+    seg_dir = tmp_path / "segments"
+    os.makedirs(seg_dir)
+    paths = []
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, N_EVENTS)]):
+        p = str(seg_dir / f"seg{i}.parquet")
+        log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)).write.parquet(p)
+        paths.append(p)
+    tbl = make_table(spark, tmp_path, base, "files")
+    r1 = replay_files(spark, tbl, paths)
+    assert [r.skipped for r in r1] == [False, False, False]
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+    r2 = replay_files(spark, tbl, paths)  # re-listing: all epochs stamped
+    assert all(r.skipped for r in r2)
