@@ -305,13 +305,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TX.token_count_ws(F.col("text")).cast("long").alias("n_tokens_ws"),
         )
 
-    def q_quality_score(spark, sf):  # rows-only (no oracle): composite heuristic
+    def q_quality_score(spark, sf):
         docs = _t(spark, sf, "documents")
-        return docs.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+        # two-step: materialize the one-pass profile struct, then score from
+        # its fields (keeps the word-array scan at exactly one per row)
+        return docs.withColumn("_p", TX.text_profile(F.col("text"))).select(
+            "doc_id", TX.quality_from_profile(F.col("_p")).alias("quality")
+        )
 
-    def q_lang_detect(spark, sf):  # rows-only (no oracle): argmax heuristic
+    def q_lang_detect(spark, sf):
         docs = _t(spark, sf, "documents")
-        return docs.select("doc_id", TX.detect_lang(F.col("text")).alias("lang_pred"))
+        return docs.withColumn("_p", TX.text_profile(F.col("text"))).select(
+            "doc_id", TX.detect_lang_from_profile(F.col("_p")).alias("lang_pred")
+        )
 
     def q_embedding_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
@@ -671,8 +677,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)|\w+|[^\w\s]')) AS BIGINT) AS n_tokens_bpe
             FROM documents
         """,
-        # quality_score, lang_detect, ngram_jaccard, minhash_lsh, simhash,
-        # lsh_topk, ivf_topk, frame_sample: intentionally no oracle
-        # (hash-seeded / heuristic internals not expressible in portable SQL)
-        # — driver records rows-only checks.
+        "quality_score": r"""
+            WITH p AS (
+              SELECT doc_id,
+                     length(text) AS n,
+                     length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS n_punct,
+                     len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS n_words,
+                     len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                         x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS hits_en
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN n BETWEEN 100 AND 20000 THEN 1.0 WHEN n >= 20 THEN 0.5 ELSE 0.0 END AS len_band,
+                     CASE WHEN n_words > 0 AND (CAST(n AS DOUBLE) / n_words) BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END AS wlen_band,
+                     CASE WHEN n > 0 AND (CAST(n_punct AS DOUBLE) / n) > 0.001
+                               AND (CAST(n_punct AS DOUBLE) / n) < 0.2 THEN 1.0 ELSE 0.4 END AS punct_band,
+                     CASE WHEN n_words > 0 AND (CAST(hits_en AS DOUBLE) / n_words) > 0.05 THEN 1.0
+                          WHEN n_words > 0 AND (CAST(hits_en AS DOUBLE) / n_words) > 0.01 THEN 0.6
+                          ELSE 0.2 END AS stop_band
+              FROM p)
+            SELECT doc_id,
+                   round(0.35 * len_band + 0.2 * wlen_band + 0.2 * punct_band + 0.25 * stop_band, 4) AS quality
+            FROM b
+        """,
+        "lang_detect": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            s AS (
+              SELECT doc_id, len(ws) AS nw,
+                     len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS h_en,
+                     len(list_filter(ws, x -> list_contains(['der','die','und','das','ist','nicht','ein','zu'], x))) AS h_de,
+                     len(list_filter(ws, x -> list_contains(['le','la','et','les','des','est','une','que'], x))) AS h_fr,
+                     len(list_filter(ws, x -> list_contains(['el','la','que','de','los','una','es','por'], x))) AS h_es
+              FROM w),
+            sc AS (
+              SELECT doc_id,
+                     CASE WHEN nw > 0 THEN CAST(h_en AS DOUBLE) / nw ELSE 0.0 END AS s_en,
+                     CASE WHEN nw > 0 THEN CAST(h_de AS DOUBLE) / nw ELSE 0.0 END AS s_de,
+                     CASE WHEN nw > 0 THEN CAST(h_fr AS DOUBLE) / nw ELSE 0.0 END AS s_fr,
+                     CASE WHEN nw > 0 THEN CAST(h_es AS DOUBLE) / nw ELSE 0.0 END AS s_es
+              FROM s)
+            SELECT doc_id,
+                   CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0.0 THEN 'und'
+                        WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                        WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                        WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                        ELSE 'es' END AS lang_pred
+            FROM sc
+        """,
+        # minhash_lsh, simhash, lsh_topk, ivf_topk: oracled as
+        # verified-candidate queries (see queries()) — the candidate sets are
+        # hash-seeded, but the verified outputs are exact-SQL-expressible.
     }

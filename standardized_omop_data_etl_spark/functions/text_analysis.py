@@ -28,24 +28,85 @@ def words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
+def text_profile(text: Column) -> Column:
+    """ONE-PASS text statistics struct: ``(n_chars, n_punct, n_words,
+    hits_<lang>...)``.
+
+    The word array is scanned exactly once by a single ``F.aggregate`` whose
+    accumulator carries every counter; ``n_chars``/``n_punct`` ride along in
+    the init struct (computed once, passed through each step). This is the
+    scale path for ``detect_lang``/``quality_score``: the naive per-language
+    formulation re-evaluates ``split(text)`` once per language per reference
+    (higher-order lambdas block Catalyst subexpression elimination — the same
+    recompute failure mode measured on MinHash signatures).
+
+    Callers materialize the struct across a projection boundary
+    (``df.withColumn("_p", text_profile(c)).select(detect_lang_from_profile(
+    F.col("_p")), ...)``) so downstream field references stay cheap."""
+    markers = {
+        lang: F.array(*[F.lit(m) for m in ms]) for lang, ms in LANG_MARKERS.items()
+    }
+    init = F.struct(
+        F.length(text).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
+        F.lit(0).cast("long").alias("n_words"),
+        *[F.lit(0).cast("long").alias(f"hits_{lang}") for lang in LANG_MARKERS],
+    )
+
+    def step(acc, w):
+        return F.struct(
+            acc["n_chars"].alias("n_chars"),
+            acc["n_punct"].alias("n_punct"),
+            (acc["n_words"] + 1).alias("n_words"),
+            *[
+                (
+                    acc[f"hits_{lang}"]
+                    + F.when(F.array_contains(markers[lang], w), 1).otherwise(0)
+                ).alias(f"hits_{lang}")
+                for lang in LANG_MARKERS
+            ],
+        )
+
+    return F.aggregate(words(text), init, step)
+
+
+def lang_scores_from_profile(profile: Column) -> dict[str, Column]:
+    """Per-language marker-hit fraction from a ``text_profile`` struct."""
+    nw = profile["n_words"]
+    return {
+        lang: F.when(
+            nw > 0, profile[f"hits_{lang}"].cast("double") / nw.cast("double")
+        ).otherwise(0.0)
+        for lang in LANG_MARKERS
+    }
+
+
+def detect_lang_from_profile(profile: Column, min_score: float = 0.0) -> Column:
+    """Argmax language over the marker sets; 'und' (undetermined) when no
+    marker hits at all. Ties break toward the earlier language in
+    ``LANG_MARKERS`` order."""
+    scores = lang_scores_from_profile(profile)
+    best_score = F.greatest(*scores.values())
+    out = F.lit("und")
+    # build reverse-order WHEN chain so earlier langs win ties deterministically
+    for lang in reversed(list(LANG_MARKERS)):
+        out = F.when(
+            (scores[lang] == best_score) & (best_score > min_score), F.lit(lang)
+        ).otherwise(out)
+    return out
+
+
 def lang_score(text: Column, lang: str) -> Column:
-    """Fraction of words that are markers of ``lang``."""
-    marker = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-    ws = words(text)
-    hits = F.size(F.filter(ws, lambda w: F.array_contains(marker, w)))
-    return F.when(F.size(ws) > 0, hits.cast("double") / F.size(ws).cast("double")).otherwise(0.0)
+    """Fraction of words that are markers of ``lang``. Convenience form —
+    multi-language callers should use ``text_profile`` (one pass for all)."""
+    return lang_scores_from_profile(text_profile(text))[lang]
 
 
 def detect_lang(text: Column, min_score: float = 0.0) -> Column:
-    """Argmax language over the marker sets; 'und' (undetermined) when no
-    marker hits at all."""
-    scores = [(lang, lang_score(text, lang)) for lang in LANG_MARKERS]
-    best_score = F.greatest(*[s for _, s in scores])
-    out = F.lit("und")
-    # build reverse-order WHEN chain so earlier langs win ties deterministically
-    for lang, s in reversed(scores):
-        out = F.when((s == best_score) & (best_score > min_score), F.lit(lang)).otherwise(out)
-    return out
+    """Convenience single-expression form of ``detect_lang_from_profile``.
+    For hot paths, materialize ``text_profile`` in its own projection first —
+    this inline form embeds the profile once per field reference."""
+    return detect_lang_from_profile(text_profile(text), min_score)
 
 
 def token_count_ws(text: Column) -> Column:
@@ -59,16 +120,17 @@ def token_count_bpe(text: Column) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
 
 
-def quality_score(text: Column) -> Column:
-    """Composite document quality in [0,1]: length band, punctuation ratio,
-    stopword ratio, mean word length band — the standard cheap pre-filters of
-    a training-data pipeline."""
-    n = F.length(text)
-    ws = words(text)
-    n_words = F.size(ws)
-    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+def quality_from_profile(profile: Column) -> Column:
+    """Composite document quality in [0,1] from a ``text_profile`` struct:
+    length band, punctuation ratio, stopword ratio, mean word length band —
+    the standard cheap pre-filters of a training-data pipeline."""
+    n = profile["n_chars"]
+    n_words = profile["n_words"]
+    punct = profile["n_punct"]
     punct_ratio = F.when(n > 0, punct.cast("double") / n.cast("double")).otherwise(0.0)
-    stop_ratio = lang_score(text, "en")
+    stop_ratio = F.when(
+        n_words > 0, profile["hits_en"].cast("double") / n_words.cast("double")
+    ).otherwise(0.0)
     mean_wlen = F.when(n_words > 0, n.cast("double") / n_words.cast("double")).otherwise(0.0)
     len_band = F.when((n >= 100) & (n <= 20000), 1.0).when(n >= 20, 0.5).otherwise(0.0)
     wlen_band = F.when((mean_wlen >= 3.0) & (mean_wlen <= 12.0), 1.0).otherwise(0.3)
@@ -77,6 +139,12 @@ def quality_score(text: Column) -> Column:
     return F.round(
         0.35 * len_band + 0.2 * wlen_band + 0.2 * punct_band + 0.25 * stop_band, 4
     )
+
+
+def quality_score(text: Column) -> Column:
+    """Convenience single-expression form of ``quality_from_profile`` — hot
+    paths should materialize ``text_profile`` first (one word-array pass)."""
+    return quality_from_profile(text_profile(text))
 
 
 def fingerprint64(text: Column, normalize: bool = True) -> Column:
