@@ -326,28 +326,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
         )
 
-    def q_ngram_jaccard(spark, sf):  # rows-only: word-3-gram near-dup pairs
+    def q_ngram_jaccard(spark, sf):  # word-3-gram near-dup pairs (exact)
         docs = _t(spark, sf, "documents")
         return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
 
-    def q_minhash_lsh(spark, sf):  # rows-only: banded-LSH candidate pairs
+    def q_minhash_lsh(spark, sf):
+        # banded-LSH candidates VERIFIED by exact jaccard: the oracle is the
+        # exact >=0.8 pair set, so the hash check asserts LSH recall == 1 on
+        # this data (any missed true pair mismatches the oracle).
         docs = _t(spark, sf, "documents")
-        return DD.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
+        cand = DD.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=16)
+        return DD.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.8, candidates=cand
+        )
 
-    def q_simhash(spark, sf):  # rows-only: simhash block-collision pairs
+    def q_simhash(spark, sf):
+        # simhash block-collision candidates VERIFIED by exact jaccard —
+        # same oracle contract as minhash_lsh (candidate recall == 1).
+        # max_distance=12 (13 blocks): measured true->=0.8-pair hamming max
+        # is 10 at sf0.01; 16 was needlessly collision-happy (wide buckets).
         docs = _t(spark, sf, "documents")
-        return DD.simhash_duplicates(docs, "text", "doc_id", max_distance=16)
+        cand = DD.simhash_duplicates(docs, "text", "doc_id", max_distance=12)
+        return DD.ngram_jaccard_pairs(
+            docs, "text", "doc_id", k=3, threshold=0.8, candidates=cand.select("id_a", "id_b")
+        )
 
-    def q_lsh_topk(spark, sf):  # rows-only: hyperplane-LSH ANN
-        emb = _t(spark, sf, "embeddings")
-        queries_df = emb.filter(F.col("vec_id") < 3)
-        return SIM.lsh_topk(emb, queries_df, "embedding", "vec_id", dim=64, k=3, bits=4, tables=2)
+    def _planted_corpus(spark, sf):
+        """ANN fixture with planted cluster structure, derived from the
+        embeddings table by SQL-expressible arithmetic (anchors = first 8
+        vectors, 32 replicas each + deterministic per-dim noise). The raw
+        embeddings are structureless random vectors — no sub-exhaustive ANN
+        can deterministically match brute force on them; on this corpus the
+        true neighbors are in-cluster and ANN must recover them exactly."""
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < 8)
+        reps = spark.range(32).select(F.col("id").alias("rep"))
+        vec = F.zip_with(
+            F.col("embedding"),
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda e, j: e.cast("double")
+            + ((F.col("vec_id") * 53 + F.col("rep") * 29 + j * 17) % 7) * 0.01,
+        )
+        return emb.crossJoin(reps).select(
+            (F.col("vec_id") * 32 + F.col("rep")).alias("id"), vec.alias("vec")
+        )
 
-    def q_ivf_topk(spark, sf):  # rows-only: IVF-cell ANN
-        emb = _t(spark, sf, "embeddings")
-        queries_df = emb.filter(F.col("vec_id") < 3)
-        return SIM.ivf_topk(
-            emb, queries_df, "embedding", "vec_id", dim=64, k=3, num_centroids=8, nprobe=3
+    def q_lsh_topk(spark, sf):  # hyperplane-LSH ANN vs brute-force oracle
+        c = _planted_corpus(spark, sf)
+        queries_df = c.filter(F.col("id").isin(0, 32, 64))
+        out = SIM.lsh_topk(c, queries_df, "vec", "id", dim=64, k=3, bits=8, tables=2)
+        return out.select(
+            "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
+        )
+
+    def q_ivf_topk(spark, sf):  # IVF-cell ANN vs brute-force oracle
+        c = _planted_corpus(spark, sf)
+        queries_df = c.filter(F.col("id").isin(0, 32, 64))
+        out = SIM.ivf_topk(c, queries_df, "vec", "id", dim=64, k=3, num_centroids=8, nprobe=3)
+        return out.select(
+            "query_id", "neighbor_id", F.round("cosine_sim", 4).alias("cosine_sim"), "rank"
         )
 
     def q_year_fallback(spark, sf):
@@ -388,14 +424,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(FX.pack_years(F.col("l_quantity"), F.col("l_discount")), 4).alias("pack_years"),
         )
 
-    def q_frame_sample(spark, sf):  # rows-only: multimodal frame fan-out plumbing
+    def q_frame_sample(spark, sf):  # multimodal frame fan-out plumbing
         from standardized_omop_data_etl_spark.operators.multimodal import (
             frame_sample,
             synthetic_media,
         )
 
         media = synthetic_media(spark, 48, seed=7)
-        return frame_sample(media, every_ms=500).select("media_id", "frame_ts_ms")
+        return frame_sample(media, every_ms=500).select(
+            "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+        )
 
     def q_token_count_bpe(spark, sf):
         docs = _t(spark, sf, "documents")
@@ -727,7 +765,74 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'es' END AS lang_pred
             FROM sc
         """,
-        # minhash_lsh, simhash, lsh_topk, ivf_topk: oracled as
-        # verified-candidate queries (see queries()) — the candidate sets are
-        # hash-seeded, but the verified outputs are exact-SQL-expressible.
+        "ngram_jaccard": _JACCARD_ORACLE.format(threshold=0.2),
+        # minhash_lsh / simhash output the exact >=0.8 jaccard pair set via
+        # candidate generation + exact verification; the oracle is the
+        # brute-force pair set, so hash equality asserts candidate recall==1.
+        "minhash_lsh": _JACCARD_ORACLE.format(threshold=0.8),
+        "simhash": _JACCARD_ORACLE.format(threshold=0.8),
+        "lsh_topk": _PLANTED_TOPK_ORACLE,
+        "ivf_topk": _PLANTED_TOPK_ORACLE,
+        # frame_sample: synthetic_media(48, seed=7) metadata is arithmetic on
+        # (id, seed); videos are ids with (id*7919+7)%3==2, duration
+        # 1000+(id*997+217)%5000, sampled every 500 ms from 0..duration-1.
+        "frame_sample": """
+            WITH m AS (SELECT unnest(range(0, 48)) AS i),
+            v AS (SELECT i, 1000 + ((i * 997 + 217) % 5000) AS dur
+                  FROM m WHERE (i * 7919 + 7) % 3 = 2),
+            f AS (SELECT i, unnest(generate_series(0, greatest(dur - 1, 0), 500)) AS ts FROM v)
+            SELECT printf('m-%06d', i) AS media_id, CAST(ts AS BIGINT) AS frame_ts_ms FROM f
+        """,
     }
+
+
+# Exact word-3-gram jaccard pairs >= {threshold} over documents — inverted
+# index formulation (mirrors operators/dedup.ngram_jaccard_pairs semantics:
+# distinct shingles; n<k docs collapse to one whole-text shingle).
+_JACCARD_ORACLE = r"""
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 3 THEN
+                    list_distinct(list_transform(range(1, len(ws) - 1),
+                      i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                  WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                  ELSE [] END AS g
+      FROM w),
+    inv AS (SELECT doc_id, len(g) AS n, unnest(g) AS gram FROM sh),
+    p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             count(*) AS inter
+      FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, round(inter / (na + nb - inter), 6) AS jaccard
+    FROM p
+    WHERE round(inter / (na + nb - inter), 6) >= {threshold}
+"""
+
+# Brute-force cosine top-3 over the planted-cluster corpus (see
+# _planted_corpus): anchors = embeddings vec_id<8, 32 replicas each with
+# deterministic arithmetic noise; queries are ids 0/32/64.
+_PLANTED_TOPK_ORACLE = """
+    WITH reps AS (SELECT unnest(range(0, 32)) AS rep),
+    c AS (
+      SELECT e.vec_id * 32 + r.rep AS id,
+             list_transform(range(0, 64),
+               j -> CAST(e.embedding[j + 1] AS DOUBLE)
+                    + ((e.vec_id * 53 + r.rep * 29 + j * 17) % 7) * 0.01) AS vec
+      FROM embeddings e CROSS JOIN reps r WHERE e.vec_id < 8),
+    q AS (SELECT id AS query_id, vec AS qv FROM c WHERE id IN (0, 32, 64)),
+    scored AS (
+      SELECT q.query_id, c.id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.vec) AS sim
+      FROM q CROSS JOIN c WHERE q.query_id <> c.id),
+    ranked AS (
+      SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 3
+"""

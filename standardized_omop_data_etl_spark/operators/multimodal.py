@@ -109,12 +109,14 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests: payload bytes derived from
-    xxhash64 chains (pure expressions), metadata consistent with kind."""
+    """Deterministic fake media table for tests: metadata from plain modular
+    arithmetic on (id, seed) — deliberately SQL-expressible so an external
+    oracle (DuckDB) can reproduce kind/duration and verify the frame grid —
+    payload bytes from a sha2 chain (opaque, never oracled)."""
     df = spark.range(n)
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64(F.lit(seed), "id"), F.lit(3)) + 1).cast("int"),
+        ((F.col("id") * 7919 + F.lit(seed)) % 3 + 1).cast("int"),
     )
     payload = F.sha2(F.concat(F.lit(seed), F.col("id").cast("string")), 256).cast("binary")
     return df.select(
@@ -124,7 +126,7 @@ def synthetic_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         F.struct(
             F.lit(64).alias("width"),
             F.lit(64).alias("height"),
-            (F.pmod(F.xxhash64(F.lit(seed), F.lit("dur"), F.col("id")), F.lit(5000)) + 1000)
+            ((F.col("id") * 997 + F.lit(seed * 31)) % 5000 + 1000)
             .cast("int")
             .alias("duration_ms"),
             F.lit("fake").alias("codec"),

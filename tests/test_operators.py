@@ -185,6 +185,39 @@ def test_exact_dedup(spark):
     assert kept == {1, 3}
 
 
+def test_ngram_df_cap_matches_uncapped_on_normal_data(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    capped = rows(DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5, df_max=1000))
+    exact = rows(DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.5, df_max=None))
+    assert sorted(capped) == sorted(exact)
+
+
+def test_ngram_df_cap_drops_stop_shingle_pairs(spark):
+    # docs 1..40 share ONLY the stop-shingle; docs 100/101 are true near-dups
+    rows_in = [(i, "common stop gram x%d y%d z%d" % (i, i, i)) for i in range(1, 41)]
+    rows_in += [(100, "alpha beta gamma delta epsilon"), (101, "alpha beta gamma delta zeta")]
+    df = spark.createDataFrame(rows_in, "id long, text string")
+    got = rows(DD.ngram_jaccard_pairs(df, "text", "id", k=3, threshold=0.2, df_max=10))
+    ids = {(a, b) for a, b, _ in got}
+    assert (100, 101) in ids
+    # every pair among 1..40 shares only 'common stop gram' (df=40 > 10) → dropped
+    assert all(a >= 100 for a, b in ids)
+
+
+def test_bucket_cap_drops_hot_bucket(spark):
+    hot = [(i, "the exact same boilerplate text repeated verbatim") for i in range(200)]
+    pair = [(1000, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1001, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(hot + pair, "id long, text string")
+    got = rows(DD.minhash_lsh_candidates(df, "text", "id", num_hashes=16, bands=8, max_bucket=50))
+    ids = {(a, b) for a, b in got}
+    assert (1000, 1001) in ids
+    assert all(a >= 1000 for a, b in ids), "hot bucket must be dropped, not exploded"
+    # uncapped finds the 200*199/2 hot pairs
+    un = DD.minhash_lsh_candidates(df, "text", "id", num_hashes=16, bands=8, max_bucket=None)
+    assert un.count() == 200 * 199 // 2 + 1
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     df = spark.createDataFrame(
