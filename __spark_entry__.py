@@ -435,6 +435,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
         )
 
+    def q_redundancy_inner(spark, sf):
+        # J4 — keys present in both the current source and the already-merged
+        # output (reference combine_subtables.py:105-107)
+        ev = _t(spark, sf, "events")
+        cur = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.to_date("ts").cast("string").alias("day")
+        )
+        existing = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.to_date("ts").cast("string").alias("day")
+        )
+        return R.redundancy_inner(cur, existing, ["user_id", "day"])
+
+    def q_date_column_discovery(spark, sf):
+        # F5 — date-column discovery by name over real table schemas
+        # (reference create_observation_periods.py:9-15)
+        found = []
+        for tname in ("orders", "lineitem", "events"):
+            sch = _t(spark, sf, tname).schema
+            found += [(tname, c) for c in FX.date_columns(sch)]
+        return spark.createDataFrame(found, "table_name string, column_name string")
+
+    def q_placeholder_date_validity(spark, sf):
+        # F6 — placeholder-date validity (reference
+        # create_observation_periods.py:18-35); every 7th key carries the
+        # 1900-01-01 placeholder
+        o = _t(spark, sf, "orders")
+        d = F.when(
+            F.pmod("o_orderkey", F.lit(7)) == 0, F.to_date(F.lit("1900-01-01"))
+        ).otherwise(F.to_date("o_orderdate"))
+        return o.select(
+            "o_orderkey", d.cast("string").alias("d"), FX.is_real_date(d).alias("is_real")
+        )
+
+    def q_group_branch(spark, sf):
+        # F16 — per-group conditional branch with per-branch constants incl.
+        # the -42368 sentinel relative day (reference
+        # aalshxfx--condition_occurrence.py:70-168,74-78): group 0 skipped,
+        # group 1 onset from the event value, group 2 onset = placeholder date
+        from standardized_omop_data_etl_spark.functions import conventions as CONV
+
+        ev = _t(spark, sf, "events")
+        grp = F.pmod("user_id", F.lit(3))
+        onset_days = F.when(grp == 1, F.floor("value").cast("int")).otherwise(
+            F.lit(CONV.SENTINEL_RELATIVE_DAY)
+        )
+        concept = F.when(grp == 1, 374623).otherwise(4099804)
+        return ev.filter(grp != 0).select(
+            "event_id",
+            concept.cast("int").alias("concept_id"),
+            F.date_format(FX.relative_day_to_date(onset_days), "yyyy-MM-dd").alias("onset_date"),
+        )
+
+    def q_gated_fanout(spark, sf):
+        # U3 — fan-out gated by sibling flags (reference
+        # aalshxfx--observation.py:148-160: limb side emitted only when its
+        # flag is set); rows with neither flag emit nothing
+        ev = _t(spark, sf, "events")
+        sides = F.array(
+            F.when(
+                F.pmod("event_id", F.lit(2)) == 0,
+                F.struct(F.lit("left").alias("side"), F.lit(1001).alias("concept_id")),
+            ),
+            F.when(
+                F.pmod("event_id", F.lit(3)) == 0,
+                F.struct(F.lit("right").alias("side"), F.lit(1002).alias("concept_id")),
+            ),
+        )
+        out = ev.select(
+            "event_id",
+            F.explode(F.filter(sides, lambda s: s.isNotNull())).alias("s"),
+        )
+        return out.select("event_id", F.col("s.side").alias("side"), F.col("s.concept_id").alias("concept_id"))
+
     def q_token_count_bpe(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select(
@@ -484,6 +557,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_years": q_pack_years,
         "frame_sample": q_frame_sample,
         "token_count_bpe": q_token_count_bpe,
+        "redundancy_inner": q_redundancy_inner,
+        "date_column_discovery": q_date_column_discovery,
+        "placeholder_date_validity": q_placeholder_date_validity,
+        "group_branch": q_group_branch,
+        "gated_fanout": q_gated_fanout,
     }
 
 
@@ -773,6 +851,42 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _JACCARD_ORACLE.format(threshold=0.8),
         "lsh_topk": _PLANTED_TOPK_ORACLE,
         "ivf_topk": _PLANTED_TOPK_ORACLE,
+        "redundancy_inner": """
+            SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type = 'purchase'
+            INTERSECT
+            SELECT DISTINCT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day
+            FROM events WHERE event_type = 'click'
+        """,
+        "date_column_discovery": """
+            SELECT * FROM (VALUES
+              ('orders', 'o_orderdate'),
+              ('lineitem', 'l_shipdate')) AS t(table_name, column_name)
+        """,
+        "placeholder_date_validity": """
+            WITH d AS (
+              SELECT o_orderkey,
+                     CASE WHEN o_orderkey % 7 = 0 THEN DATE '1900-01-01'
+                          ELSE CAST(o_orderdate AS DATE) END AS d
+              FROM orders)
+            SELECT o_orderkey, CAST(d AS VARCHAR) AS d,
+                   (d IS NOT NULL AND CAST(d AS VARCHAR) <> '1900-01-01') AS is_real
+            FROM d
+        """,
+        "group_branch": """
+            SELECT event_id,
+                   CAST(CASE WHEN user_id % 3 = 1 THEN 374623 ELSE 4099804 END AS INTEGER) AS concept_id,
+                   strftime(DATE '2016-01-01' + CAST(
+                     CASE WHEN user_id % 3 = 1 THEN floor(value) ELSE -42368 END AS INTEGER),
+                     '%Y-%m-%d') AS onset_date
+            FROM events WHERE user_id % 3 <> 0
+        """,
+        "gated_fanout": """
+            SELECT event_id, 'left' AS side, 1001 AS concept_id
+            FROM events WHERE event_id % 2 = 0
+            UNION ALL
+            SELECT event_id, 'right', 1002 FROM events WHERE event_id % 3 = 0
+        """,
         # frame_sample: synthetic_media(48, seed=7) metadata is arithmetic on
         # (id, seed); videos are ids with (id*7919+7)%3==2, duration
         # 1000+(id*997+217)%5000, sampled every 500 ms from 0..duration-1.

@@ -10,8 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, functions as F
 
-EPOCH_DEFAULT = "2016-01-01"
-PLACEHOLDER_DATE = "1900-01-01"
+from .conventions import INDEX_DATE as EPOCH_DEFAULT, PLACEHOLDER_DATE
 
 
 def relative_day_to_date(days: Column, index_date: str = EPOCH_DEFAULT) -> Column:

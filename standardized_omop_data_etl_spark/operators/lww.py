@@ -63,15 +63,27 @@ def lww_latest(
     payload_cols = [c for c in df.columns]
     tie = F.xxhash64(*[F.col(c) for c in payload_cols])
 
-    def window_pick(src, part_cols: list[str], order_expr, tie_expr, cnt: str | None):
+    def window_pick(
+        src,
+        part_cols: list[str],
+        order_expr,
+        tie_expr,
+        cnt: str | None,
+        weight_col: str | None = None,
+    ):
+        # ``weight_col`` is passed EXPLICITLY by the salted phase-2 call (each
+        # phase-1 survivor carries its group's row count) — never inferred
+        # from src.columns, so a payload that happens to contain a same-named
+        # column can't corrupt the events_seen/conflicts metrics.
         w = Window.partitionBy(*part_cols).orderBy(order_expr, tie_expr)
         out = src.withColumn("_rn", F.row_number().over(w))
         if cnt:
             # same partition+order spec as the row_number → shares one sort
             # and one WindowExec pass; only the frame differs.
+            weight = F.coalesce(F.col(weight_col), F.lit(1)) if weight_col else F.lit(1)
             out = out.withColumn(
                 cnt,
-                F.sum(F.coalesce(F.col("_w"), F.lit(1)) if "_w" in src.columns else F.lit(1)).over(
+                F.sum(weight).over(
                     w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
                 ),
             )
@@ -85,12 +97,11 @@ def lww_latest(
         # reducers; phase 2 picks among the ≤S survivors per key.
         salt = F.pmod(F.xxhash64(F.col(order_col), tie), F.lit(salt_partitions))
         p1 = window_pick(
-            df.withColumn("_salt", salt), keys + ["_salt"], order_key, tie.desc(), "_w1"
+            df.withColumn("_salt", salt), keys + ["_salt"], order_key, tie.desc(), "__lww_w"
         )
-        p1 = p1.withColumnRenamed("_w1", "_w")
         tie2 = F.xxhash64(*[F.col(c) for c in payload_cols])
-        out = window_pick(p1, keys, order_key, tie2.desc(), count_col)
-        return out.drop("_salt", "_w")
+        out = window_pick(p1, keys, order_key, tie2.desc(), count_col, weight_col="__lww_w")
+        return out.drop("_salt", "__lww_w")
 
     src = (
         df.repartition(num_partitions, *[F.col(k) for k in keys])

@@ -15,19 +15,45 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+# Same threshold policy as plans/merge.py BROADCAST_KEYS_MAX: a key/dimension
+# side of unknown size must never be broadcast unconditionally (a 500M-row
+# delete set OOMs the driver). Kept as a module global so tests can lower it.
+BROADCAST_KEYS_MAX = 4_000_000
 
-def anti_join_delete(df: DataFrame, delete_keys: DataFrame, on: list[str]) -> DataFrame:
+
+def _sized_side(keys: DataFrame, broadcast: bool | None) -> DataFrame:
+    """Pick the join strategy for a filter/dimension side.
+
+    ``broadcast=True``/``False`` is the caller's explicit hint (they know the
+    side is a tiny curated map / a huge key set). ``None`` (default) counts
+    the side — one cheap key-only job — and broadcasts only under
+    ``BROADCAST_KEYS_MAX``; past it, a shuffle-hash hint (never sort-merge:
+    sorting for an existence probe is pure waste)."""
+    if broadcast is True:
+        return F.broadcast(keys)
+    if broadcast is False:
+        return keys.hint("shuffle_hash")
+    return (
+        F.broadcast(keys) if keys.count() <= BROADCAST_KEYS_MAX else keys.hint("shuffle_hash")
+    )
+
+
+def anti_join_delete(
+    df: DataFrame, delete_keys: DataFrame, on: list[str], broadcast: bool | None = None
+) -> DataFrame:
     """P4 — remove rows whose composite key appears in ``delete_keys``
     (reference ``add_condition_occurrences.py:99-103``,
     ``combine_subtables.py:119-121``); the CDC engine's delete-op application.
-    ``delete_keys`` is usually small → broadcast to avoid shuffling ``df``."""
-    return df.join(F.broadcast(delete_keys.select(*on).distinct()), on=on, how="left_anti")
+    The key side is broadcast only when known/measured small (``_sized_side``)."""
+    return df.join(_sized_side(delete_keys.select(*on).distinct(), broadcast), on=on, how="left_anti")
 
 
-def semi_join_exists(df: DataFrame, keys: DataFrame, on: list[str]) -> DataFrame:
+def semi_join_exists(
+    df: DataFrame, keys: DataFrame, on: list[str], broadcast: bool | None = None
+) -> DataFrame:
     """J5 — existence-only probe (reference
     ``add_condition_occurrences.py:54-58,95-97``)."""
-    return df.join(F.broadcast(keys.select(*on).distinct()), on=on, how="left_semi")
+    return df.join(_sized_side(keys.select(*on).distinct(), broadcast), on=on, how="left_semi")
 
 
 def redundancy_inner(df: DataFrame, existing: DataFrame, on: list[str]) -> DataFrame:
@@ -37,15 +63,21 @@ def redundancy_inner(df: DataFrame, existing: DataFrame, on: list[str]) -> DataF
 
 
 def normalized_join(
-    left: DataFrame, right: DataFrame, left_col: str, right_col: str, how: str = "left"
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    how: str = "left",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """J3 — case/whitespace-normalized equi-join with natural one-to-many
     fan-out (reference ``answer_als_medications_log--drug_exposure.py:178-197``,
     ``medical_history--condition_occurrence.py:28-41``). The mapping side is
-    small (a curated Usagi export) → broadcast."""
+    typically small (a curated Usagi export) → broadcast when measured/known
+    small, shuffled otherwise."""
     lk = F.lower(F.trim(F.col(left_col)))
     rk = F.lower(F.trim(F.col(right_col)))
-    return left.join(F.broadcast(right), lk == rk, how)
+    return left.join(_sized_side(right, broadcast), lk == rk, how)
 
 
 def minmax_periods(

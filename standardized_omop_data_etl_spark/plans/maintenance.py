@@ -14,8 +14,6 @@ still works because each snapshot records its own bucket count.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources.lake import DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable, bucket_expr
@@ -96,6 +94,14 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> int:
     shuffle of the full table) and commit a new snapshot. Returns the new
     version. Use when per-bucket volume outgrows the micro-batch MERGE
     sweet spot."""
+    owner = table.acquire_writer_lease()
+    try:
+        return _rebucket_locked(table, new_num_buckets)
+    finally:
+        table.release_writer_lease(owner)
+
+
+def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
     key = table.key_col
     df = table.read(include_hidden=True)
     out = df.withColumn("_bucket", bucket_expr(key, new_num_buckets))
@@ -105,7 +111,7 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> int:
 
     # per-bucket VISIBLE row counts from the written files (key + tombstone
     # marker only — tombstones are physical rows but not table rows)
-    all_files = [os.path.join(table.path, f) for fl in new_files.values() for f in fl]
+    all_files = [table.fs.join(table.path, f) for fl in new_files.values() for f in fl]
     counts: dict[int, int] = {}
     if all_files:
         from pyspark.sql import types as T
@@ -127,6 +133,7 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> int:
     manifest = {
         "version": version,
         "parent": m["version"],
+        "bucket_fn": m.get("bucket_fn"),
         "schema": m["schema"],
         "key_col": key,
         "num_buckets": new_num_buckets,
@@ -137,6 +144,39 @@ def rebucket(table: LakeTable, new_num_buckets: int) -> int:
     }
     table._write_manifest(manifest)
     return version
+
+
+def compact_buckets(table: LakeTable, max_files_per_bucket: int = 4) -> int:
+    """Small-file compaction: many tiny epochs leave many files per bucket
+    over time (every MERGE appends ~1 file to each touched bucket's rewrite),
+    degrading scan planning and open-file overhead at scale. Buckets holding
+    more than ``max_files_per_bucket`` files are rewritten into one file each
+    via a single aligned shuffle of ONLY those buckets; untouched buckets are
+    carried by reference. Read state is byte-identical (tombstones and hidden
+    columns included); returns the new version (current if nothing to do)."""
+    m = table.manifest()
+    buckets = sorted(
+        int(b) for b, fl in m["files"].items() if len(fl) > max_files_per_bucket
+    )
+    if not buckets:
+        return table.current_version()
+    owner = table.acquire_writer_lease()
+    try:
+        key = table.key_col
+        version = table.current_version() + 1
+        rows = table.read(buckets=buckets, include_hidden=True).withColumn(
+            "_bucket", bucket_expr(key, table.num_buckets)
+        )
+        new_files, _ = table.write_bucket_files(rows, version, cluster=True)
+        prev_counts = {int(b): int(c) for b, c in m.get("row_counts", {}).items()}
+        return table.commit(
+            new_files,
+            replaced_buckets=set(buckets),
+            summary={"operation": "compact", "buckets": buckets},
+            row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
+        )
+    finally:
+        table.release_writer_lease(owner)
 
 
 def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
@@ -157,23 +197,27 @@ def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
     )
     if not buckets:
         return table.current_version()
-    version = table.current_version() + 1
-    keep = table.read(buckets=buckets, include_hidden=True).filter(
-        ~(
-            F.coalesce(F.col(DELETED_COL), F.lit(False))
-            & (F.col(LSN_COL) < watermark_lsn)
+    owner = table.acquire_writer_lease()
+    try:
+        version = table.current_version() + 1
+        keep = table.read(buckets=buckets, include_hidden=True).filter(
+            ~(
+                F.coalesce(F.col(DELETED_COL), F.lit(False))
+                & (F.col(LSN_COL) < watermark_lsn)
+            )
+        ).withColumn("_bucket", bucket_expr(key, num_buckets))
+        new_files, out_dir = table.write_bucket_files(keep, version, cluster=False)
+        # visible counts are unchanged by tombstone GC — re-stamp them for the
+        # rewritten buckets (commit drops counts of replaced buckets otherwise)
+        prev_counts = {
+            int(b): int(c) for b, c in table.manifest().get("row_counts", {}).items()
+        }
+        return table.commit(
+            new_files,
+            replaced_buckets=set(buckets),
+            summary={"operation": "vacuum_tombstones", "watermark_lsn": watermark_lsn,
+                     "buckets": buckets},
+            row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
         )
-    ).withColumn("_bucket", bucket_expr(key, num_buckets))
-    new_files, out_dir = table.write_bucket_files(keep, version, cluster=False)
-    # visible counts are unchanged by tombstone GC — re-stamp them for the
-    # rewritten buckets (commit drops counts of replaced buckets otherwise)
-    prev_counts = {
-        int(b): int(c) for b, c in table.manifest().get("row_counts", {}).items()
-    }
-    return table.commit(
-        new_files,
-        replaced_buckets=set(buckets),
-        summary={"operation": "vacuum_tombstones", "watermark_lsn": watermark_lsn,
-                 "buckets": buckets},
-        row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
-    )
+    finally:
+        table.release_writer_lease(owner)

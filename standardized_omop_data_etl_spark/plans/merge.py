@@ -65,7 +65,6 @@ from __future__ import annotations
 
 import os
 import re
-import shutil
 import time
 import uuid
 from dataclasses import dataclass, field
@@ -87,6 +86,13 @@ from ..sources.lake import (
 )
 
 APPLIED_EPOCHS_PROP = "applied_epochs"
+
+# The only ops merge_into applies. Anything else (e.g. op='invalid' from
+# parse_json_changelog's dead-letter rows) or a NULL LSN is silently
+# DROPPED by the guard filter below — it must never merge as an insert with
+# NULL _lsn. Callers that want to persist/count the rejects split them off
+# first with sources.json_changelog.split_dead_letter.
+VALID_OPS = ("insert", "update", "delete", "upsert")
 
 # Below this many keys, the semi/anti filter side is broadcast so neither the
 # target scan nor the winner scan shuffles (the keys are short strings; 4M ≈
@@ -111,13 +117,15 @@ def _is_applied(table: LakeTable, epoch: str) -> bool:
 
 
 def _sweep_stale_scratch(table: LakeTable) -> None:
-    """Remove scratch dirs orphaned by a crashed merge (single-writer model)."""
-    data_root = os.path.join(table.path, DATA_DIR)
-    if not os.path.isdir(data_root):
+    """Remove scratch dirs orphaned by a crashed merge. Only safe under the
+    writer lease (merge_into holds it here): a concurrent writer's live
+    scratch would otherwise be destroyed."""
+    data_root = table.fs.join(table.path, DATA_DIR)
+    if not table.fs.isdir(data_root):
         return
-    for entry in os.listdir(data_root):
+    for entry in table.fs.listdir(data_root):
         if entry.startswith("scratch-"):
-            shutil.rmtree(os.path.join(data_root, entry), ignore_errors=True)
+            table.fs.rmtree(table.fs.join(data_root, entry))
 
 
 def merge_into(
@@ -129,10 +137,30 @@ def merge_into(
     salt_partitions: int | None = None,
     source_name: str = "changelog",
 ) -> MergeResult:
-    """Apply one micro-batch. Idempotent per ``epoch``."""
+    """Apply one micro-batch. Idempotent per ``epoch``; single-writer
+    enforced via the table's writer lease (a concurrent merge raises
+    ``ConcurrentWriterError`` instead of corrupting scratch/commit state)."""
     epoch = str(epoch)
     if _is_applied(table, epoch):
         return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
+    lease_owner = table.acquire_writer_lease()
+    try:
+        return _merge_into_locked(
+            table, batch, epoch, lsn_col, op_col, salt_partitions, source_name
+        )
+    finally:
+        table.release_writer_lease(lease_owner)
+
+
+def _merge_into_locked(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: str,
+    lsn_col: str,
+    op_col: str,
+    salt_partitions: int | None,
+    source_name: str,
+) -> MergeResult:
     timing = os.environ.get("SODES_MERGE_TIMING") == "1"
     marks: list[tuple[str, float]] = [("start", time.time())]
 
@@ -156,6 +184,11 @@ def merge_into(
         table.alter_schema(evolved, changes)
 
     # ---- 2. Per-key LWW (A4 kernel), bucket-aligned, spilled to scratch.
+    # Guard: unknown ops / NULL LSNs never reach the merge (they'd otherwise
+    # apply as upserts with NULL _lsn). The filter fuses into the LWW scan.
+    batch = batch.filter(
+        F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
+    )
     src = lww_latest(
         batch,
         key,
@@ -169,13 +202,13 @@ def merge_into(
         # re-align once so the scratch write stays ~1 file per bucket
         src = src.repartition(num_buckets, F.col(key))
     src = src.withColumn("_bucket", bucket_expr(key, num_buckets))
-    scratch_dir = os.path.join(
+    scratch_dir = table.fs.join(
         table.path, DATA_DIR, f"scratch-{re.sub(r'[^A-Za-z0-9_.-]', '_', epoch)}-{uuid.uuid4().hex[:8]}"
     )
     src.write.partitionBy("_bucket").parquet(scratch_dir)
     touched = sorted(
         int(d.split("=", 1)[1])
-        for d in os.listdir(scratch_dir)
+        for d in table.fs.listdir(scratch_dir)
         if d.startswith("_bucket=")
     )
     mark("lww+scratch")
@@ -371,7 +404,7 @@ def merge_into(
             _, out_dir = table.write_bucket_files(out, version, cluster=not broadcastable)
             new_files = table.list_bucket_files(out_dir)
             for b, fl in new_files.items():
-                nbytes = sum(os.path.getsize(os.path.join(table.path, f)) for f in fl)
+                nbytes = sum(table.fs.getsize(table.fs.join(table.path, f)) for f in fl)
                 per_bucket.setdefault(b, {})["bytes_written"] = nbytes
                 bytes_written += nbytes
         metrics["bytes_written"] = bytes_written
@@ -397,7 +430,7 @@ def merge_into(
     finally:
         if resolved is not None:
             resolved.unpersist()
-        shutil.rmtree(scratch_dir, ignore_errors=True)
+        table.fs.rmtree(scratch_dir)
     if timing:
         spans = ", ".join(
             f"{label}={t - prev:.2f}s" for (label, t), (_, prev) in zip(marks[1:], marks)

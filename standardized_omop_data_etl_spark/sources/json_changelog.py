@@ -77,6 +77,19 @@ def parse_json_changelog(
     return raw.select(*cols)
 
 
+def split_dead_letter(
+    events: DataFrame, lsn_col: str = "lsn", op_col: str = "op"
+) -> tuple[DataFrame, DataFrame]:
+    """(valid, dead_letter) split of a parsed changelog: rows with an unknown
+    op or a NULL LSN go to the dead-letter side for counting/persisting.
+    ``merge_into`` independently drops such rows (plans.merge.VALID_OPS
+    guard); use this when the rejects must be observable rather than merely
+    excluded."""
+    valid_ops = ("insert", "update", "delete", "upsert")
+    bad = (~F.col(op_col).isin(*valid_ops)) | F.col(lsn_col).isNull()
+    return events.filter(~bad), events.filter(bad)
+
+
 def to_json_changelog(events: DataFrame, lsn_col: str = "lsn", op_col: str = "op") -> DataFrame:
     """Inverse adapter (engine events → Debezium-ish envelopes), used by tests
     for round-trip checks and by CDC-out consumers."""

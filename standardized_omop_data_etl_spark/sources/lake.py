@@ -31,15 +31,26 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
+import time
 import uuid
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from .fs import FileSystem, LocalFileSystem
+
 METADATA_DIR = "metadata"
 DATA_DIR = "data"
 CURRENT_PTR = "_current"
+LEASE_FILE = "_lease"
+
+# Identifier of the bucket hash function baked into every manifest. The
+# on-disk placement of rows depends on it, so a reader/writer built with a
+# different bucket function MUST refuse the table (probing buckets computed
+# with the wrong hash silently misses existing keys — duplicate inserts,
+# broken tombstone guards). Changing the function requires a new identifier
+# here plus a ``rebucket`` migration of existing tables.
+BUCKET_FN = "murmur3_pmod_v1"
 
 # Hidden physical columns (present in data files, invisible to table readers).
 LSN_COL = "_lsn"  # per-row last-applied LSN: powers MATCHED AND src.lsn > tgt.lsn
@@ -55,13 +66,13 @@ class SchemaEvolutionError(ValueError):
     """Raised when an incoming batch schema cannot be reconciled."""
 
 
-def _atomic_write(path: str, payload: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as f:
-        f.write(payload)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, path)
+class TableFormatError(ValueError):
+    """Raised when a table's on-disk format (e.g. its bucket hash function)
+    is incompatible with this engine version."""
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Raised when another writer holds the table's writer lease."""
 
 
 def bucket_expr(key_col: str, num_buckets: int):
@@ -178,9 +189,10 @@ def conform_to_schema(df: DataFrame, schema: T.StructType) -> DataFrame:
 class LakeTable:
     """A snapshot-versioned bucketed parquet table rooted at ``path``."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs: FileSystem | None = None):
         self.spark = spark
-        self.path = os.path.abspath(path)
+        self.fs = fs or LocalFileSystem()
+        self.path = self.fs.abspath(path)
 
     # -- creation / loading -------------------------------------------------
 
@@ -194,18 +206,21 @@ class LakeTable:
         num_buckets: int = 16,
         properties: dict[str, Any] | None = None,
         overwrite: bool = False,
+        fs: FileSystem | None = None,
     ) -> "LakeTable":
-        path = os.path.abspath(path)
-        if os.path.exists(os.path.join(path, METADATA_DIR, CURRENT_PTR)):
+        fs = fs or LocalFileSystem()
+        path = fs.abspath(path)
+        if fs.exists(fs.join(path, METADATA_DIR, CURRENT_PTR)):
             if not overwrite:
                 raise FileExistsError(f"table already exists at {path}")
-            shutil.rmtree(path)
-        os.makedirs(os.path.join(path, METADATA_DIR), exist_ok=True)
-        os.makedirs(os.path.join(path, DATA_DIR), exist_ok=True)
-        tbl = cls(spark, path)
+            fs.rmtree(path)
+        fs.makedirs(fs.join(path, METADATA_DIR))
+        fs.makedirs(fs.join(path, DATA_DIR))
+        tbl = cls(spark, path, fs)
         manifest = {
             "version": 0,
             "parent": None,
+            "bucket_fn": BUCKET_FN,
             "schema": json.loads(schema.json()),
             "key_col": key_col,
             "num_buckets": num_buckets,
@@ -218,34 +233,82 @@ class LakeTable:
         return tbl
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
-        tbl = cls(spark, path)
-        tbl.manifest()  # raises if missing
+    def load(cls, spark: SparkSession, path: str, fs: FileSystem | None = None) -> "LakeTable":
+        tbl = cls(spark, path, fs)
+        tbl._check_format(tbl.manifest())  # raises if missing/incompatible
         return tbl
 
     @classmethod
-    def exists(cls, path: str) -> bool:
-        return os.path.exists(os.path.join(os.path.abspath(path), METADATA_DIR, CURRENT_PTR))
+    def exists(cls, path: str, fs: FileSystem | None = None) -> bool:
+        fs = fs or LocalFileSystem()
+        return fs.exists(fs.join(fs.abspath(path), METADATA_DIR, CURRENT_PTR))
 
     # -- manifest plumbing ---------------------------------------------------
 
+    @staticmethod
+    def _check_format(manifest: dict[str, Any]) -> None:
+        fn = manifest.get("bucket_fn")
+        if fn != BUCKET_FN:
+            raise TableFormatError(
+                f"table was bucketed with {fn!r}, this engine uses {BUCKET_FN!r};"
+                " probing its buckets would miss existing keys — migrate with"
+                " plans.maintenance.rebucket using a matching engine version"
+            )
+
     def _meta_path(self, name: str) -> str:
-        return os.path.join(self.path, METADATA_DIR, name)
+        return self.fs.join(self.path, METADATA_DIR, name)
 
     def current_version(self) -> int:
-        with open(self._meta_path(CURRENT_PTR)) as f:
-            return int(f.read().strip())
+        return int(self.fs.read_text(self._meta_path(CURRENT_PTR)).strip())
 
     def manifest(self, version: int | None = None) -> dict[str, Any]:
         if version is None:
             version = self.current_version()
-        with open(self._meta_path(f"v{version}.json")) as f:
-            return json.load(f)
+        return json.loads(self.fs.read_text(self._meta_path(f"v{version}.json")))
 
     def _write_manifest(self, manifest: dict[str, Any]) -> None:
         v = manifest["version"]
-        _atomic_write(self._meta_path(f"v{v}.json"), json.dumps(manifest, indent=1))
-        _atomic_write(self._meta_path(CURRENT_PTR), str(v))
+        self.fs.write_text_atomic(self._meta_path(f"v{v}.json"), json.dumps(manifest, indent=1))
+        self.fs.write_text_atomic(self._meta_path(CURRENT_PTR), str(v))
+
+    # -- writer lease --------------------------------------------------------
+
+    def acquire_writer_lease(self, owner: str | None = None, ttl_sec: float = 600.0) -> str:
+        """Single-writer enforcement: atomically create the lease file; a
+        live lease held by another owner raises ``ConcurrentWriterError``
+        (fail fast — the caller retries or backs off), a lease older than
+        ``ttl_sec`` is presumed crashed and taken over. The primitive is
+        ``FileSystem.create_exclusive`` (O_EXCL locally, conditional PUT on
+        object stores)."""
+        owner = owner or f"pid-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        payload = json.dumps({"owner": owner, "acquired_at": time.time()})
+        lease_path = self._meta_path(LEASE_FILE)
+        for attempt in (1, 2):
+            if self.fs.create_exclusive(lease_path, payload):
+                return owner
+            try:
+                held = json.loads(self.fs.read_text(lease_path))
+            except (FileNotFoundError, ValueError):
+                continue  # raced with a release — retry the create
+            age = time.time() - float(held.get("acquired_at", 0))
+            if held.get("owner") == owner:
+                return owner
+            if age <= ttl_sec:
+                raise ConcurrentWriterError(
+                    f"writer lease held by {held.get('owner')!r} "
+                    f"({age:.0f}s old, ttl {ttl_sec:.0f}s) on {self.path}"
+                )
+            self.fs.remove(lease_path)  # stale lease: take over
+        raise ConcurrentWriterError(f"could not acquire writer lease on {self.path}")
+
+    def release_writer_lease(self, owner: str) -> None:
+        lease_path = self._meta_path(LEASE_FILE)
+        try:
+            held = json.loads(self.fs.read_text(lease_path))
+        except (FileNotFoundError, ValueError):
+            return
+        if held.get("owner") == owner:
+            self.fs.remove(lease_path)
 
     # -- schema accessors ----------------------------------------------------
 
@@ -282,7 +345,7 @@ class LakeTable:
         out: list[str] = []
         for b, files in m["files"].items():
             if buckets is None or int(b) in buckets:
-                out.extend(os.path.join(self.path, f) for f in files)
+                out.extend(self.fs.join(self.path, f) for f in files)
         return out
 
     def read(
@@ -331,8 +394,8 @@ class LakeTable:
     # -- writes --------------------------------------------------------------
 
     def _new_data_dir(self, version: int) -> str:
-        d = os.path.join(self.path, DATA_DIR, f"snap-v{version}-{uuid.uuid4().hex[:8]}")
-        os.makedirs(d, exist_ok=True)
+        d = self.fs.join(self.path, DATA_DIR, f"snap-v{version}-{uuid.uuid4().hex[:8]}")
+        self.fs.makedirs(d)
         return d
 
     def write_bucket_files(
@@ -362,14 +425,14 @@ class LakeTable:
         Call once after all writes into the dir (a shared dir accumulates
         files across write calls)."""
         files: dict[int, list[str]] = {}
-        for entry in os.listdir(out_dir):
+        for entry in self.fs.listdir(out_dir):
             if not entry.startswith("_bucket="):
                 continue
             b = int(entry.split("=", 1)[1])
-            bucket_dir = os.path.join(out_dir, entry)
+            bucket_dir = self.fs.join(out_dir, entry)
             rels = [
-                os.path.relpath(os.path.join(bucket_dir, f), self.path)
-                for f in os.listdir(bucket_dir)
+                self.fs.relpath(self.fs.join(bucket_dir, f), self.path)
+                for f in self.fs.listdir(bucket_dir)
                 if f.endswith(".parquet")
             ]
             files[b] = sorted(rels)
@@ -405,9 +468,11 @@ class LakeTable:
         for b, c in (row_counts_update or {}).items():
             if c > 0:
                 row_counts[str(b)] = int(c)
+        self._check_format(m)
         manifest = {
             "version": new_version,
             "parent": m["version"],
+            "bucket_fn": m.get("bucket_fn"),
             "schema": json.loads(schema.json()) if schema is not None else m["schema"],
             "key_col": m["key_col"],
             "num_buckets": m["num_buckets"],
@@ -445,7 +510,7 @@ class LakeTable:
         version = self.current_version() + 1
         new_files, _ = self.write_bucket_files(out, version)
         # per-bucket row counts (cheap: re-read only the key column)
-        all_files = [os.path.join(self.path, f) for fl in new_files.values() for f in fl]
+        all_files = [self.fs.join(self.path, f) for fl in new_files.values() for f in fl]
         counts: dict[int, int] = {}
         if all_files:
             key_only = T.StructType([self.schema()[key]])
@@ -473,7 +538,7 @@ class LakeTable:
         live: set[str] = set()
         all_versions = [
             int(f[1:-5])
-            for f in os.listdir(os.path.join(self.path, METADATA_DIR))
+            for f in self.fs.listdir(self.fs.join(self.path, METADATA_DIR))
             if f.startswith("v") and f.endswith(".json")
         ]
         for v in keep_versions:
@@ -486,9 +551,9 @@ class LakeTable:
             for fl in self.manifest(v)["files"].values():
                 for f in fl:
                     if f not in live:
-                        p = os.path.join(self.path, f)
-                        if os.path.exists(p):
-                            os.remove(p)
+                        p = self.fs.join(self.path, f)
+                        if self.fs.exists(p):
+                            self.fs.remove(p)
                             removed.append(f)
-            os.remove(self._meta_path(f"v{v}.json"))
+            self.fs.remove(self._meta_path(f"v{v}.json"))
         return removed

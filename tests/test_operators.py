@@ -41,7 +41,30 @@ def test_priority_dedup_first_wins(spark):
     assert out == {1: "high", 2: "only"}
 
 
+def test_lww_salted_count_with_adversarial_payload_column(spark):
+    # a payload column literally named "_w" must not corrupt the count metric
+    df = spark.createDataFrame(
+        [(1, 10, 999), (1, 20, 999), (1, 30, 999), (2, 5, 999)],
+        "k int, lsn int, _w int",
+    )
+    out = {r["k"]: (r["lsn"], r["n"]) for r in
+           lww_latest(df, "k", "lsn", salt_partitions=4, count_col="n").collect()}
+    assert out == {1: (30, 3), 2: (5, 1)}
+
+
 # ---------------------------------------------------------------- joins
+
+
+def test_sized_broadcast_fallback_matches_broadcast(spark, monkeypatch):
+    # past the threshold the shuffled path must produce identical output
+    df = spark.createDataFrame([(i, "v%d" % i) for i in range(20)], "k int, v string")
+    keys = spark.createDataFrame([(i,) for i in range(0, 20, 2)], "k int")
+    want_anti = {r["k"] for r in R.anti_join_delete(df, keys, ["k"], broadcast=True).collect()}
+    want_semi = {r["k"] for r in R.semi_join_exists(df, keys, ["k"], broadcast=True).collect()}
+    monkeypatch.setattr(R, "BROADCAST_KEYS_MAX", 3)  # force the shuffled path
+    got_anti = {r["k"] for r in R.anti_join_delete(df, keys, ["k"]).collect()}
+    got_semi = {r["k"] for r in R.semi_join_exists(df, keys, ["k"]).collect()}
+    assert got_anti == want_anti and got_semi == want_semi
 
 
 def test_anti_and_semi_join(spark):

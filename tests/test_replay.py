@@ -294,3 +294,28 @@ def test_replay_files_glob_discovery(spark, tmp_path, fixtures):
     assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
     r2 = replay_files(spark, tbl, paths)  # re-listing: all epochs stamped
     assert all(r.skipped for r in r2)
+
+
+def test_dead_letter_rows_never_merge(spark, tmp_path, fixtures):
+    """op='invalid' / NULL-lsn rows (e.g. unparseable changelog lines) must
+    not apply as upserts; split_dead_letter exposes them for counting."""
+    from pyspark.sql import functions as F
+
+    from standardized_omop_data_etl_spark.sources.json_changelog import split_dead_letter
+
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "deadletter")
+    poisoned = log.unionByName(
+        log.limit(5).select(
+            F.lit(None).cast("long").alias("lsn"),
+            F.lit("invalid").alias("op"),
+            F.lit("doc-poison").alias("doc_id"),
+            "tokens", "n_tok", "source",
+        )
+    )
+    valid, dead = split_dead_letter(poisoned)
+    assert dead.count() == 5 and valid.count() == len(log_pdf)
+    merge_into(tbl, poisoned, epoch="poison:1")
+    got = tbl.read().toPandas()
+    assert "doc-poison" not in set(got["doc_id"])
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
