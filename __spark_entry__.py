@@ -335,7 +335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact >=0.8 pair set, so the hash check asserts LSH recall == 1 on
         # this data (any missed true pair mismatches the oracle).
         docs = _t(spark, sf, "documents")
-        cand = DD.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=16)
+        # (16 hashes, 8 bands of 2): p(miss | j>=0.8) = (1-0.64)^8 ~ 3e-4 per
+        # pair; measured recall 1.0 at sf0.01 AND sf0.1 (identical verified
+        # pair set as (32,16)) at half the signature cost.
+        cand = DD.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=16, bands=8)
         return DD.ngram_jaccard_pairs(
             docs, "text", "doc_id", k=3, threshold=0.8, candidates=cand
         )
@@ -508,6 +511,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("event_id", F.col("s.side").alias("side"), F.col("s.concept_id").alias("concept_id"))
 
+    def q_embedding_dup_pairs(spark, sf):
+        # embedding-cosine near-dup: exact brute-force pairs (the oracle-able
+        # baseline; LSH-bucketed scale path covered by pytest on planted data)
+        emb = _t(spark, sf, "embeddings")
+        return DD.embedding_dup_pairs(emb, "embedding", "vec_id", threshold=0.25)
+
     def q_token_count_bpe(spark, sf):
         docs = _t(spark, sf, "documents")
         return docs.select(
@@ -562,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "placeholder_date_validity": q_placeholder_date_validity,
         "group_branch": q_group_branch,
         "gated_fanout": q_gated_fanout,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
     }
 
 
@@ -886,6 +896,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 0
             UNION ALL
             SELECT event_id, 'right', 1002 FROM events WHERE event_id % 3 = 0
+        """,
+        "embedding_dup_pairs": """
+            WITH p AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                  CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, cosine_sim FROM p WHERE cosine_sim >= 0.25
         """,
         # frame_sample: synthetic_media(48, seed=7) metadata is arithmetic on
         # (id, seed); videos are ids with (id*7919+7)%3==2, duration

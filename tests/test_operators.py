@@ -264,6 +264,24 @@ def test_simhash_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_embedding_dup_pairs_lsh_matches_brute_on_planted(spark):
+    # planted clusters: LSH-bucketed candidates must recover every true pair
+    from pyspark.sql import functions as F
+
+    base = spark.range(40)
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda j: ((F.col("id") % 4) * 31 + j * 17).cast("double") % 13.0
+        + ((F.col("id") * 53 + j * 29) % 7).cast("double") * 0.01,
+    )
+    df = base.select(F.col("id").alias("vid"), vec.alias("v"))
+    brute = {(r["id_a"], r["id_b"]) for r in
+             DD.embedding_dup_pairs(df, "v", "vid", threshold=0.999).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           DD.embedding_dup_pairs(df, "v", "vid", threshold=0.999, dim=16, bits=6, tables=4).collect()}
+    assert brute and lsh == brute
+
+
 # ---------------------------------------------------------------- similarity
 
 
