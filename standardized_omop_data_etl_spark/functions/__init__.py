@@ -1,1 +1,1 @@
-from . import scalars, text_analysis  # noqa: F401
+from . import conventions, scalars, text_analysis  # noqa: F401

@@ -1,16 +1,25 @@
 """Deduplication operators for training-data pipelines.
 
-Four families, all shuffle-architected for 100 TB:
+Five families, all shuffle-architected for 100 TB:
 
 * **exact** — fingerprint groupBy (one shuffle on a 8-byte key, map-side
   combined);
 * **MinHash + LSH** — shingle → minhash signature (one pass, JVM expressions)
-  → band buckets → self-join within buckets only (candidate generation never
-  goes quadratic: the join key is (band, band_hash));
+  → band buckets → per-bucket pair explode (candidate generation never goes
+  quadratic: the join key is (band, band_hash));
 * **SimHash** — 64-bit weighted-bit signature; near-dups = equal signatures
   per block or Hamming-adjacent via block keys;
-* **n-gram Jaccard** — exact verification on LSH candidates (or standalone on
-  small slices).
+* **n-gram Jaccard** — exact pairs via df-capped inverted index + full-set
+  verification (or verification-only on LSH candidates);
+* **embedding-cosine** — near-dup pairs over an embedding column: brute
+  baseline, hyperplane-LSH bucketed scale path, candidate verification.
+
+Skew guards everywhere a bucket/posting list could go hot: bucket membership
+is counted map-side FIRST and oversized buckets dropped before any
+``collect_list`` materializes them (``DEFAULT_MAX_BUCKET``), and Jaccard
+postings carry a document-frequency cutoff (``DEFAULT_DF_MAX``) with exact
+verification of the surviving pairs — the standard trades that keep
+candidate generation bounded on mass-duplicated boilerplate at 100 TB.
 
 MinHash permutations use ``xxhash64(shingle, seed_i)`` — deterministic,
 JVM-side, no Python in the loop.

@@ -1,1 +1,7 @@
-from .lake import LakeTable, SchemaEvolutionError  # noqa: F401
+from .fs import FileSystem, LocalFileSystem  # noqa: F401
+from .lake import (  # noqa: F401
+    ConcurrentWriterError,
+    LakeTable,
+    SchemaEvolutionError,
+    TableFormatError,
+)
