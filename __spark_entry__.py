@@ -307,15 +307,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_quality_score(spark, sf):
         docs = _t(spark, sf, "documents")
-        # two-step: materialize the one-pass profile struct, then score from
-        # its fields (keeps the word-array scan at exactly one per row)
-        return docs.withColumn("_p", TX.text_profile(F.col("text"))).select(
+        # scale path: tokenize once into a materialized words column, score
+        # from the profile struct's cheap field references
+        return TX.with_text_profile(docs, "text").select(
             "doc_id", TX.quality_from_profile(F.col("_p")).alias("quality")
         )
 
     def q_lang_detect(spark, sf):
         docs = _t(spark, sf, "documents")
-        return docs.withColumn("_p", TX.text_profile(F.col("text"))).select(
+        return TX.with_text_profile(docs, "text").select(
             "doc_id", TX.detect_lang_from_profile(F.col("_p")).alias("lang_pred")
         )
 

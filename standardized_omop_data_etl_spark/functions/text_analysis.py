@@ -28,30 +28,60 @@ def words(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
 
 
-def text_profile(text: Column) -> Column:
-    """ONE-PASS text statistics struct: ``(n_chars, n_punct, n_words,
-    hits_<lang>...)``.
-
-    The word array is scanned exactly once by a single ``F.aggregate`` whose
-    accumulator carries every counter; ``n_chars``/``n_punct`` ride along in
-    the init struct (computed once, passed through each step). This is the
-    scale path for ``detect_lang``/``quality_score``: the naive per-language
-    formulation re-evaluates ``split(text)`` once per language per reference
-    (higher-order lambdas block Catalyst subexpression elimination — the same
-    recompute failure mode measured on MinHash signatures).
-
-    Callers materialize the struct across a projection boundary
-    (``df.withColumn("_p", text_profile(c)).select(detect_lang_from_profile(
-    F.col("_p")), ...)``) so downstream field references stay cheap."""
+def _profile_struct(text: Column, ws: Column) -> Column:
+    """Profile struct ``(n_chars, n_punct, n_words, hits_<lang>...)`` given a
+    words array ``ws`` — cheap array scans, no re-tokenization."""
     markers = {
         lang: F.array(*[F.lit(m) for m in ms]) for lang, ms in LANG_MARKERS.items()
     }
+    return F.struct(
+        F.length(text).cast("long").alias("n_chars"),
+        F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
+        F.size(ws).cast("long").alias("n_words"),
+        *[
+            F.size(F.filter(ws, lambda w: F.array_contains(markers[lang], w)))
+            .cast("long")
+            .alias(f"hits_{lang}")
+            for lang in LANG_MARKERS
+        ],
+    )
+
+
+def with_text_profile(df, text_col: str, out_col: str = "_p"):
+    """Add a text-profile struct column, tokenizing ONCE.
+
+    This is the scale path for ``detect_lang``/``quality_score``: the words
+    array is materialized as its own (hidden) column, so the per-language
+    counters reference a cheap attribute instead of re-embedding
+    ``split(lower(text))`` per reference (higher-order lambdas block Catalyst
+    subexpression elimination — the naive form re-tokenizes ~12× per row;
+    measured 4.7× slower on 200-word docs, ``bench/text_profile_bench.py``).
+    CollapseProject keeps the multi-referenced non-cheap ``_ws`` in its own
+    projection, so the split truly runs once per row."""
+    ws_col = f"__{out_col}_ws"
+    return (
+        df.withColumn(ws_col, words(F.col(text_col)))
+        .withColumn(out_col, _profile_struct(F.col(text_col), F.col(ws_col)))
+        .drop(ws_col)
+    )
+
+
+def text_profile(text: Column) -> Column:
+    """Single-expression profile struct: one ``F.aggregate`` pass over the
+    word array (accumulator carries every counter, ``n_chars``/``n_punct``
+    ride along in the init struct). Convenience form for expression-only
+    contexts; DataFrame callers should prefer ``with_text_profile`` — the
+    materialized-words formulation benches ~3.5× faster than this fold
+    (per-element struct rebuilds are interpreted, not codegen)."""
     init = F.struct(
         F.length(text).cast("long").alias("n_chars"),
         F.length(F.regexp_replace(text, r"[^.!?,;:]", "")).cast("long").alias("n_punct"),
         F.lit(0).cast("long").alias("n_words"),
         *[F.lit(0).cast("long").alias(f"hits_{lang}") for lang in LANG_MARKERS],
     )
+    markers = {
+        lang: F.array(*[F.lit(m) for m in ms]) for lang, ms in LANG_MARKERS.items()
+    }
 
     def step(acc, w):
         return F.struct(
