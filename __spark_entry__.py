@@ -511,6 +511,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("event_id", F.col("s.side").alias("side"), F.col("s.concept_id").alias("concept_id"))
 
+    def q_windowed_counts(spark, sf):
+        # §2.9 windowed agg: same definition serves the watermarked stream
+        # (tests/test_streaming.py) and this batch form
+        from standardized_omop_data_etl_spark.streaming.windowed import (
+            windowed_event_counts,
+        )
+
+        ev = _t(spark, sf, "events")
+        out = windowed_event_counts(
+            ev, ts_col="ts", key_col="event_type", window_duration="1 hour"
+        )
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.date_format("window_end", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+
     def q_embedding_dup_pairs(spark, sf):
         # embedding-cosine near-dup: exact brute-force pairs (the oracle-able
         # baseline; LSH-bucketed scale path covered by pytest on planted data)
@@ -572,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_branch": q_group_branch,
         "gated_fanout": q_gated_fanout,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "windowed_counts": q_windowed_counts,
     }
 
 
@@ -896,6 +915,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 0
             UNION ALL
             SELECT event_id, 'right', 1002 FROM events WHERE event_id % 3 = 0
+        """,
+        "windowed_counts": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+                   strftime(date_trunc('hour', ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+                   event_type, count(*) AS n_events
+            FROM events GROUP BY 1, 2, 3
         """,
         "embedding_dup_pairs": """
             WITH p AS (

@@ -531,6 +531,60 @@ class LakeTable:
 
     # -- maintenance ---------------------------------------------------------
 
+    def rollback(self, version: int) -> int:
+        """Roll the table back to an earlier snapshot by committing a NEW
+        snapshot that references ``version``'s files/schema/properties
+        (Iceberg's ``rollback_to_snapshot``). History is preserved — the
+        bad snapshots stay readable until ``expire_snapshots`` GCs them —
+        and the operation is itself just an atomic manifest commit."""
+        owner = self.acquire_writer_lease()
+        try:
+            target = self.manifest(version)
+            self._check_format(target)
+            cur = self.manifest()
+            manifest = {
+                "version": cur["version"] + 1,
+                "parent": cur["version"],
+                "bucket_fn": target.get("bucket_fn"),
+                "schema": target["schema"],
+                "key_col": target["key_col"],
+                "num_buckets": target["num_buckets"],
+                "files": target["files"],
+                "row_counts": target.get("row_counts", {}),
+                "properties": target["properties"],
+                "summary": {"operation": "rollback", "to": version},
+            }
+            self._write_manifest(manifest)
+            return manifest["version"]
+        finally:
+            self.release_writer_lease(owner)
+
+    def applied_epochs(self) -> dict[str, Any]:
+        """The checkpoint/manifest store's view of applied epochs:
+        ``{epoch: {last_lsn, metrics}}`` (north rule: per-partition lineage +
+        metrics persisted so replay resumes mid-stream)."""
+        return dict(self.properties().get("applied_epochs", {}))
+
+    def metrics_df(self) -> DataFrame:
+        """Applied-epoch metrics as a DataFrame ``(epoch, last_lsn,
+        events_seen, events_applied, conflicts_resolved, bytes_written, ...)``
+        — the queryable form of the manifest's metrics store."""
+        rows = []
+        for epoch, rec in self.applied_epochs().items():
+            m = rec.get("metrics", {})
+            rows.append(
+                {
+                    "epoch": epoch,
+                    "last_lsn": int(rec.get("last_lsn", -1)),
+                    **{k: int(v) for k, v in m.items() if isinstance(v, (int, float))},
+                }
+            )
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "epoch string, last_lsn long, events_seen long, events_applied long"
+            )
+        return self.spark.createDataFrame(rows)
+
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Delete data files referenced only by expired snapshots (GC)."""
         current = self.current_version()

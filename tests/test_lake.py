@@ -93,3 +93,33 @@ def test_multimodal_plumbing(spark):
     )
     if len(frames):
         assert (frames["frame_ts_ms"] % 1000 == 0).all()
+
+
+def test_rollback_and_metrics_df(spark, tmp_path):
+    from standardized_omop_data_etl_spark.plans.merge import merge_into
+    from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+    from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+    base = base_sequences(spark, 60, seed=21, max_len=8)
+    log = change_log(spark, 200, 60, seed=21, max_len=8)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "rb"), schema=base.schema, key_col="doc_id",
+        num_buckets=4, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    v_good = tbl.current_version()
+    good = sorted(map(tuple, tbl.read().collect()))
+    merge_into(tbl, log, epoch="bad-batch")
+    assert sorted(map(tuple, tbl.read().collect())) != good
+
+    v_new = tbl.rollback(v_good)
+    assert v_new == tbl.current_version() and v_new > v_good
+    assert sorted(map(tuple, tbl.read().collect())) == good
+    # rollback restored the pre-merge epoch set: the epoch can re-apply
+    assert "bad-batch" not in tbl.applied_epochs()
+    r = merge_into(tbl, log, epoch="bad-batch")
+    assert not r.skipped
+
+    mdf = tbl.metrics_df()
+    row = {r["epoch"]: r for r in mdf.collect()}["bad-batch"]
+    assert row["events_seen"] == 200 and row["events_applied"] > 0

@@ -50,3 +50,48 @@ def test_stream_matches_oracle(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert tbl.current_version() == v
+
+
+@pytest.mark.timeout(300)
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    """Append-mode watermark semantics: an event later than the watermark
+    delay past its window close is dropped from the finalized window."""
+    from standardized_omop_data_etl_spark.streaming.windowed import windowed_event_counts
+
+    schema = "ts timestamp, source string"
+    seg_dir = str(tmp_path / "segs")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(seg_dir)
+
+    def write_seg(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(f"{seg_dir}/{name}")
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(seg_dir + "/*")
+        agg = windowed_event_counts(stream, window_duration="10 seconds",
+                                    watermark_delay="10 seconds")
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    import datetime as dt
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    # seg1: 3 events in window [0,10) + one at :40 that pushes the watermark
+    # past [0,10)'s close (40 - 10s delay = :30)
+    write_seg("seg1", [(t(1), "web"), (t(2), "web"), (t(5), "books"), (t(40), "web")])
+    run_once()
+    # seg2: a LATE event for [0,10) (beyond watermark -> must be dropped) and
+    # fresh events at :50 (advance watermark so [40,50) could finalize later)
+    write_seg("seg2", [(t(6), "web"), (t(50), "books"), (t(51), "web")])
+    run_once()
+
+    got = {
+        (str(r["window_start"])[-8:], r["source"]): r["n_events"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # [0,10) was finalized with seg1's counts only: the late (t6, web) event
+    # did NOT bump web's count from 2 to 3
+    assert got[("00:00:00", "web")] == 2
+    assert got[("00:00:00", "books")] == 1
