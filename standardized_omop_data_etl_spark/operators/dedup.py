@@ -86,17 +86,23 @@ def minhash_signatures_df(
         F.col(id_col).alias("_id"),
         F.explode_outer(shingles(F.col(text_col), k)).alias("_s"),
     )
+    # ONE aggregation pass: empty docs (explode_outer's NULL shingle — note
+    # xxhash64(NULL) is a real hash, not NULL, so min() wouldn't skip it) are
+    # detected by a count in the same agg and rewritten to the sentinel
+    # signature afterwards. The previous union-of-two-branches formulation
+    # consumed the explode twice — a full second shingle pass over the corpus.
     aggs = [
-        F.coalesce(F.min(F.xxhash64("_s", F.lit(i))), F.lit(LONG_MAX)).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    return ex.filter(F.col("_s").isNotNull()).groupBy("_id").agg(*aggs).unionByName(
-        # empty docs (no shingles) keep a sentinel signature, as in the
-        # column variant
-        ex.groupBy("_id")
-        .agg(F.count("_s").alias("_n"))
-        .filter(F.col("_n") == 0)
-        .select("_id", *[F.lit(LONG_MAX).alias(f"_h{i}") for i in range(num_hashes)])
+        F.min(F.xxhash64("_s", F.lit(i))).alias(f"_h{i}") for i in range(num_hashes)
+    ] + [F.count("_s").alias("_nn")]
+    g = ex.groupBy("_id").agg(*aggs)
+    return g.select(
+        "_id",
+        *[
+            F.when(F.col("_nn") == 0, F.lit(LONG_MAX))
+            .otherwise(F.col(f"_h{i}"))
+            .alias(f"_h{i}")
+            for i in range(num_hashes)
+        ],
     )
 
 
@@ -130,20 +136,25 @@ def _bucket_pairs(
     upstream signature computation runs once, and work stays proportional to
     Σ bucket².
 
-    ``max_bucket`` caps bucket size: the membership count is aggregated FIRST
-    (count-only, map-side combined — never holds the member list), and
-    oversized buckets are semi-joined away before ``collect_list`` runs, so
-    no task ever materializes a hot bucket. The count shuffle and the member
-    shuffle share one (_band, _bucket) partitioning (exchange reuse)."""
+    ``max_bucket`` caps bucket size with a WINDOW count over
+    (_band, _bucket): one shuffle, one pass over the input — the count and
+    the filter happen inside the same exchange the member groupBy needs, and
+    the upstream (signature computation) is consumed exactly ONCE. (The
+    count-aggregate + semi-join formulation read the upstream twice —
+    Catalyst does not reuse the exchange across the two consumers — which
+    doubled the signature computation; verified by plan audit.) Oversized
+    buckets are filtered before ``collect_list``, so no task ever
+    materializes a hot bucket's member list."""
+    from pyspark.sql import Window
+
     cols = ["_id"] + (payload or [])
     if max_bucket is not None:
-        ok = (
-            buckets.groupBy("_band", "_bucket")
-            .agg(F.count(F.lit(1)).alias("_bn"))
+        w = Window.partitionBy("_band", "_bucket")
+        buckets = (
+            buckets.withColumn("_bn", F.count(F.lit(1)).over(w))
             .filter(F.col("_bn") <= max_bucket)
-            .select("_band", "_bucket")
+            .drop("_bn")
         )
-        buckets = buckets.join(ok, ["_band", "_bucket"], "left_semi")
     member = F.struct(*[F.col(c) for c in cols])
     grouped = buckets.groupBy("_band", "_bucket").agg(
         F.collect_list(member).alias("_ms")
@@ -219,20 +230,22 @@ def ngram_jaccard_pairs(
     any pair that shares at least one sub-cutoff shingle. Only pairs whose
     every common shingle is ultra-common are missed (the standard
     inverted-index trade; pass ``df_max=None`` for the uncapped exact path)."""
+    from pyspark.sql import Window
+
     sh = df.select(
         F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh")
     ).withColumn("_n", F.size("_sh"))
     if candidates is None and df_max is not None:
-        # capped path: df-filtered inverted index → id pairs → exact verify
-        inv = sh.select("_id", F.explode("_sh").alias("_g"))
-        keep = (
-            inv.groupBy("_g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter((F.col("_df") >= 2) & (F.col("_df") <= df_max))
-            .select("_g")
+        # capped path: df-filtered inverted index → id pairs → exact verify.
+        # The df cutoff is a WINDOW count per shingle — one shuffle, one pass
+        # (a count-agg + semi-join would consume the shingle explode twice).
+        inv = df.select(
+            F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_g")
         )
+        w = Window.partitionBy("_g")
         grouped = (
-            inv.join(keep, "_g", "left_semi")
+            inv.withColumn("_df", F.count(F.lit(1)).over(w))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= df_max))
             .groupBy("_g")
             .agg(F.collect_list("_id").alias("_ms"))
         )
@@ -242,6 +255,19 @@ def ngram_jaccard_pairs(
                 F.col("_ida").alias("id_a"),
                 F.explode(F.filter(F.col("_ms"), lambda m: m > F.col("_ida"))).alias("id_b"),
             ).distinct()
+        )
+        # verification below only needs the CANDIDATE docs' shingles: filter
+        # the raw docs by candidate id BEFORE the shingle projection, so the
+        # shingling cost of verification ∝ candidate docs, not corpus (AQE
+        # converts the semi join to broadcast at runtime when the id set is
+        # small — no eager count needed to decide).
+        cand_ids = candidates.select(
+            F.explode(F.array("id_a", "id_b")).alias(id_col)
+        ).distinct()
+        sh = (
+            df.join(cand_ids, id_col, "left_semi")
+            .select(F.col(id_col).alias("_id"), shingles(F.col(text_col), k).alias("_sh"))
+            .withColumn("_n", F.size("_sh"))
         )
     if candidates is None:
         # inverted index WITHOUT a self-join: group per shingle, explode the
@@ -359,21 +385,20 @@ def simhash_signatures_df(
         ).alias(f"_v{b}")
         for b in range(64)
     ]
-    voted = ex.filter(F.col("_s").isNotNull()).groupBy("_id").agg(*aggs)
+    # ONE aggregation pass (cf. minhash_signatures_df): empty docs are the
+    # groups whose only row is explode_outer's NULL — detected by a count in
+    # the same agg and rewritten to signature 0 (the union-of-two-branches
+    # formulation consumed the shingle explode twice).
+    voted = ex.groupBy("_id").agg(*aggs, F.count("_s").alias("_nn"))
     sig = F.lit(0).cast("long")
     for b in range(64):
         sig = sig + F.when(
             F.col(f"_v{b}") > 0,
             F.lit(2**b if b < 63 else -(2**63)).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-    with_sig = voted.select("_id", sig.alias("_sim"))
-    empty = (
-        ex.groupBy("_id")
-        .agg(F.count("_s").alias("_n"))
-        .filter(F.col("_n") == 0)
-        .select("_id", F.lit(0).cast("long").alias("_sim"))
+    return voted.select(
+        "_id", F.when(F.col("_nn") == 0, F.lit(0).cast("long")).otherwise(sig).alias("_sim")
     )
-    return with_sig.unionByName(empty)
 
 
 def simhash_duplicates(
