@@ -95,3 +95,56 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     # did NOT bump web's count from 2 to 3
     assert got[("00:00:00", "web")] == 2
     assert got[("00:00:00", "books")] == 1
+
+
+@pytest.mark.timeout(300)
+def test_stateful_compactor_emits_only_frontier_advances(spark, tmp_path):
+    """applyInPandasWithState changelog compactor: per key, each micro-batch
+    emits at most the batch's max-LSN event, and only when it advances the
+    key's running high-water mark; the final emission per key equals the
+    batch LWW winner."""
+    from standardized_omop_data_etl_spark.operators.lww import lww_latest
+    from standardized_omop_data_etl_spark.sources.generators import change_log
+    from standardized_omop_data_etl_spark.streaming.stateful import (
+        compact_changelog_stream,
+    )
+
+    log = change_log(spark, 300, 60, seed=13, max_len=8)
+    seg_dir = str(tmp_path / "segs")
+    os.makedirs(seg_dir)
+    # segment 2 carries an out-of-order, already-superseded slice (its lsns
+    # are below segment 1's) — the compactor must emit nothing for keys
+    # whose frontier it does not advance
+    segs = [(200, 300), (0, 150), (150, 200)]
+    for i, (lo, hi) in enumerate(segs):
+        log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)).coalesce(1).write.parquet(
+            f"{seg_dir}/seg{i}.parquet"
+        )
+
+    stream = spark.readStream.schema(log.schema).parquet(seg_dir + "/*")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        compact_changelog_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .option("maxFilesPerTrigger", 1)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+
+    emitted = spark.read.schema(log.schema).parquet(out_dir).toPandas()
+    emitted = emitted[emitted["doc_id"].notna()]
+    # per key: strictly increasing lsn across emissions, <= one per batch
+    for doc, grp in emitted.groupby("doc_id"):
+        lsns = list(grp.sort_values("lsn")["lsn"])
+        assert lsns == sorted(set(lsns)) and len(lsns) <= len(segs)
+    # final emission per key == batch LWW winner over the whole log
+    final = {d: int(g["lsn"].max()) for d, g in emitted.groupby("doc_id")}
+    want = {
+        r["doc_id"]: r["lsn"]
+        for r in lww_latest(log, "doc_id", "lsn").collect()
+    }
+    assert final == want
