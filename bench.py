@@ -77,18 +77,21 @@ def main() -> None:
     n_events = int(2_000_000 * float(sf) * 10) or 200_000
     n_docs = max(n_events // 5, 1000)
     workdir = "/tmp/bench_replay_tbl"
-    shutil.rmtree(workdir, ignore_errors=True)
     base = base_sequences(spark, n_docs, seed=42, max_len=64)
     log = change_log(spark, n_events, n_docs, seed=42, max_len=64).persist()
     log.count()  # materialize generation outside the timed window
-    tbl = LakeTable.create(
-        spark, workdir, schema=base.schema, key_col="doc_id", num_buckets=32,
-        overwrite=True,
-    )
-    tbl.overwrite_full(base)
-    t0 = time.time()
-    replay_log(tbl, log, num_epochs=2)
-    replay_sec = time.time() - t0
+    replay_sec = None
+    for _rep in range(2):  # min-of-2, same as the per-query timings
+        shutil.rmtree(workdir, ignore_errors=True)
+        tbl = LakeTable.create(
+            spark, workdir, schema=base.schema, key_col="doc_id", num_buckets=32,
+            overwrite=True,
+        )
+        tbl.overwrite_full(base)
+        t0 = time.time()
+        replay_log(tbl, log, num_epochs=2)
+        dt = time.time() - t0
+        replay_sec = dt if replay_sec is None else min(replay_sec, dt)
     timings["cdc_replay"] = round(replay_sec, 3)
     log.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
