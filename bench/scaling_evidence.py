@@ -34,7 +34,14 @@ def make_zip() -> None:
 
 def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
              keep: bool) -> dict:
-    cmd = [
+    cmd = []
+    if os.environ.get("SCALE_TASKSET") == "1":
+        # Pin the WHOLE JVM (task threads + GC + IO + codegen) to exactly
+        # `cores` CPUs. Plain local[N] only bounds task threads — GC/IO
+        # spill onto other cores, inflating the small-N runs and
+        # systematically depressing measured N→4N efficiency.
+        cmd += ["taskset", "-c", f"0-{cores - 1}"]
+    cmd += [
         "spark-submit", "--master", f"local[{cores}]", "--driver-memory", "20g",
         # fixed pre-touched heap: without it the JVM's grow/shrink mmap churn
         # shows up as 30-50% system CPU (page-fault storms) and 2-3× noise
