@@ -38,22 +38,23 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _rand_vector(dim: int, seed: int, *tags) -> Column:
-    """Deterministic pseudo-random vector in [-1, 1]^dim as an array column."""
-    return F.array(
-        *[
-            (
-                (
-                    F.pmod(
-                        F.xxhash64(F.lit(seed), *[F.lit(t) for t in tags], F.lit(j)),
-                        F.lit(2001),
-                    ).cast("double")
-                    - 1000.0
-                )
-                / 1000.0
-            )
-            for j in range(dim)
-        ]
-    )
+    """Deterministic pseudo-random vector in [-1, 1]^dim as ONE array
+    literal.
+
+    The values are derived driver-side (sha256 over (seed, tags, j)) and
+    shipped as a single ``F.lit(list)`` node. The previous per-component
+    expression formulation (``pmod(xxhash64(lit...))`` × dim × bits × tables)
+    built 10k+-node constant trees that Catalyst had to fold and codegen on
+    every ANN query — tens of seconds of pure planning time for a
+    milliseconds-of-execution sketch."""
+    import hashlib
+
+    vals = []
+    for j in range(dim):
+        h = hashlib.sha256(repr((seed, tags, j)).encode()).digest()
+        u = int.from_bytes(h[:8], "big") % 2001
+        vals.append((u - 1000.0) / 1000.0)
+    return F.lit(vals)
 
 
 def _topk(scored: DataFrame, k: int) -> DataFrame:
