@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..sources.lake import DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable, bucket_expr
+from ..sources.lake import BUCKET_FN, DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable, bucket_expr
 
 
 def snapshot_diff(
@@ -133,7 +133,11 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
     manifest = {
         "version": version,
         "parent": m["version"],
-        "bucket_fn": m.get("bucket_fn"),
+        # rows were physically re-placed with THIS engine's bucket hash just
+        # above, so stamp the current BUCKET_FN — propagating the old value
+        # would leave a legacy/foreign table permanently rejected by
+        # _check_format even after the migration it prescribes.
+        "bucket_fn": BUCKET_FN,
         "schema": m["schema"],
         "key_col": key,
         "num_buckets": new_num_buckets,
@@ -154,14 +158,17 @@ def compact_buckets(table: LakeTable, max_files_per_bucket: int = 4) -> int:
     via a single aligned shuffle of ONLY those buckets; untouched buckets are
     carried by reference. Read state is byte-identical (tombstones and hidden
     columns included); returns the new version (current if nothing to do)."""
-    m = table.manifest()
-    buckets = sorted(
-        int(b) for b, fl in m["files"].items() if len(fl) > max_files_per_bucket
-    )
-    if not buckets:
-        return table.current_version()
     owner = table.acquire_writer_lease()
     try:
+        # manifest read + bucket selection must happen UNDER the lease: a
+        # commit landing between an early read and the acquire would make the
+        # selected file lists and prev row_counts stale vs the data rewritten.
+        m = table.manifest()
+        buckets = sorted(
+            int(b) for b, fl in m["files"].items() if len(fl) > max_files_per_bucket
+        )
+        if not buckets:
+            return table.current_version()
         key = table.key_col
         version = table.current_version() + 1
         rows = table.read(buckets=buckets, include_hidden=True).withColumn(
@@ -169,6 +176,7 @@ def compact_buckets(table: LakeTable, max_files_per_bucket: int = 4) -> int:
         )
         new_files, _ = table.write_bucket_files(rows, version, cluster=True)
         prev_counts = {int(b): int(c) for b, c in m.get("row_counts", {}).items()}
+        table.assert_writer_lease(owner)
         return table.commit(
             new_files,
             replaced_buckets=set(buckets),
@@ -185,20 +193,23 @@ def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
     the resurrection guard is no longer needed). Rewrites only buckets that
     actually contain qualifying tombstones; returns the new version (or the
     current one if nothing qualified)."""
-    key = table.key_col
-    num_buckets = table.num_buckets
-    hidden = table.read(include_hidden=True, columns=[key, LSN_COL, DELETED_COL])
-    dead = hidden.filter(
-        F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
-    )
-    buckets = sorted(
-        r["_b"]
-        for r in dead.select(bucket_expr(key, num_buckets).alias("_b")).distinct().collect()
-    )
-    if not buckets:
-        return table.current_version()
     owner = table.acquire_writer_lease()
     try:
+        # bucket discovery runs UNDER the lease (cf. compact_buckets): it is a
+        # narrow 3-column scan, and doing it early would let a concurrent
+        # merge land tombstones/rows between selection and rewrite.
+        key = table.key_col
+        num_buckets = table.num_buckets
+        hidden = table.read(include_hidden=True, columns=[key, LSN_COL, DELETED_COL])
+        dead = hidden.filter(
+            F.coalesce(F.col(DELETED_COL), F.lit(False)) & (F.col(LSN_COL) < watermark_lsn)
+        )
+        buckets = sorted(
+            r["_b"]
+            for r in dead.select(bucket_expr(key, num_buckets).alias("_b")).distinct().collect()
+        )
+        if not buckets:
+            return table.current_version()
         version = table.current_version() + 1
         keep = table.read(buckets=buckets, include_hidden=True).filter(
             ~(
@@ -212,6 +223,7 @@ def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
         prev_counts = {
             int(b): int(c) for b, c in table.manifest().get("row_counts", {}).items()
         }
+        table.assert_writer_lease(owner)
         return table.commit(
             new_files,
             replaced_buckets=set(buckets),

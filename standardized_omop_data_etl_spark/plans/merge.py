@@ -145,8 +145,15 @@ def merge_into(
         return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
     lease_owner = table.acquire_writer_lease()
     try:
+        # Re-check under the lease: another process may have applied this very
+        # epoch between our unlocked check and the acquire — re-applying would
+        # be LWW-safe for the data but would commit a spurious version and
+        # clobber the epoch's recorded metrics.
+        if _is_applied(table, epoch):
+            return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
         return _merge_into_locked(
-            table, batch, epoch, lsn_col, op_col, salt_partitions, source_name
+            table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
+            lease_owner,
         )
     finally:
         table.release_writer_lease(lease_owner)
@@ -160,11 +167,17 @@ def _merge_into_locked(
     op_col: str,
     salt_partitions: int | None,
     source_name: str,
+    lease_owner: str,
 ) -> MergeResult:
     timing = os.environ.get("SODES_MERGE_TIMING") == "1"
     marks: list[tuple[str, float]] = [("start", time.time())]
 
     def mark(label: str) -> None:
+        # Phase boundaries double as lease heartbeats: a merge whose wide
+        # phases outlast the lease ttl renews here instead of being silently
+        # "taken over" mid-write (the commit additionally re-verifies
+        # ownership via assert_writer_lease before the pointer flip).
+        table.renew_writer_lease(lease_owner)
         if timing:
             marks.append((label, time.time()))
 
@@ -228,6 +241,7 @@ def _merge_into_locked(
             metrics["last_lsn"] = -1
             applied = dict(table.properties().get(APPLIED_EPOCHS_PROP, {}))
             applied[epoch] = {"last_lsn": -1, "metrics": metrics}
+            table.assert_writer_lease(lease_owner)
             new_version = table.commit(
                 {}, set(), schema=evolved,
                 properties_update={APPLIED_EPOCHS_PROP: applied},
@@ -412,6 +426,7 @@ def _merge_into_locked(
 
         applied = dict(table.properties().get(APPLIED_EPOCHS_PROP, {}))
         applied[epoch] = {"last_lsn": metrics["last_lsn"], "metrics": metrics}
+        table.assert_writer_lease(lease_owner)
         new_version = table.commit(
             new_files,
             replaced_buckets=set(changed),

@@ -273,23 +273,38 @@ class LakeTable:
 
     # -- writer lease --------------------------------------------------------
 
+    def _lease_payload(self, owner: str) -> str:
+        return json.dumps({"owner": owner, "acquired_at": time.time()})
+
     def acquire_writer_lease(self, owner: str | None = None, ttl_sec: float = 600.0) -> str:
         """Single-writer enforcement: atomically create the lease file; a
         live lease held by another owner raises ``ConcurrentWriterError``
         (fail fast — the caller retries or backs off), a lease older than
-        ``ttl_sec`` is presumed crashed and taken over. The primitive is
-        ``FileSystem.create_exclusive`` (O_EXCL locally, conditional PUT on
-        object stores)."""
+        ``ttl_sec`` is presumed crashed and taken over.
+
+        Primitives: ``FileSystem.create_exclusive`` (O_EXCL locally,
+        If-None-Match conditional PUT on object stores) for fresh acquisition,
+        and ``FileSystem.replace_if_equals`` — an atomic compare-and-swap on
+        the observed stale content — for takeover. The CAS is what fences two
+        racing takeovers: both observe the same stale payload, exactly one CAS
+        succeeds, the loser re-reads and sees a live foreign lease. (The
+        remove-then-create formulation had a window where writer B could
+        remove the lease writer A just re-created — two live writers.)
+
+        Long jobs must renew (``renew_writer_lease``) well within ``ttl_sec``
+        — merge/compaction renew at phase boundaries — or size ``ttl_sec`` to
+        the job's expected duration; commits re-verify ownership via
+        ``assert_writer_lease`` before the pointer flip."""
         owner = owner or f"pid-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-        payload = json.dumps({"owner": owner, "acquired_at": time.time()})
         lease_path = self._meta_path(LEASE_FILE)
-        for attempt in (1, 2):
-            if self.fs.create_exclusive(lease_path, payload):
+        for attempt in (1, 2, 3):
+            if self.fs.create_exclusive(lease_path, self._lease_payload(owner)):
                 return owner
             try:
-                held = json.loads(self.fs.read_text(lease_path))
+                raw = self.fs.read_text(lease_path)
+                held = json.loads(raw)
             except (FileNotFoundError, ValueError):
-                continue  # raced with a release — retry the create
+                continue  # raced with a release / partial create — retry
             age = time.time() - float(held.get("acquired_at", 0))
             if held.get("owner") == owner:
                 return owner
@@ -298,8 +313,52 @@ class LakeTable:
                     f"writer lease held by {held.get('owner')!r} "
                     f"({age:.0f}s old, ttl {ttl_sec:.0f}s) on {self.path}"
                 )
-            self.fs.remove(lease_path)  # stale lease: take over
+            # stale lease: fenced takeover — swap only if nobody else did first
+            if self.fs.replace_if_equals(lease_path, raw, self._lease_payload(owner)):
+                return owner
+            # CAS lost: another writer took over (or the owner revived) — loop
+            # once more to read the new holder and fail with its identity.
         raise ConcurrentWriterError(f"could not acquire writer lease on {self.path}")
+
+    def renew_writer_lease(self, owner: str) -> None:
+        """Refresh the lease timestamp so a long-running job is not presumed
+        crashed. CAS on the current content: if the lease was meanwhile taken
+        over (we overran the ttl), the renewal FAILS loudly instead of
+        re-stamping a lease that now belongs to someone else."""
+        lease_path = self._meta_path(LEASE_FILE)
+        try:
+            raw = self.fs.read_text(lease_path)
+            held = json.loads(raw)
+        except (FileNotFoundError, ValueError):
+            raise ConcurrentWriterError(
+                f"writer lease on {self.path} vanished while held by {owner!r}"
+            )
+        if held.get("owner") != owner:
+            raise ConcurrentWriterError(
+                f"writer lease on {self.path} was taken over by "
+                f"{held.get('owner')!r} while {owner!r} was still running"
+            )
+        if not self.fs.replace_if_equals(lease_path, raw, self._lease_payload(owner)):
+            raise ConcurrentWriterError(
+                f"writer lease on {self.path} changed hands during renewal by {owner!r}"
+            )
+
+    def assert_writer_lease(self, owner: str) -> None:
+        """Commit-time fence: verify the lease still belongs to ``owner``
+        before flipping the manifest pointer. A job that overran its ttl and
+        lost the lease aborts here instead of racing the taker's commit."""
+        lease_path = self._meta_path(LEASE_FILE)
+        try:
+            held = json.loads(self.fs.read_text(lease_path))
+        except (FileNotFoundError, ValueError):
+            raise ConcurrentWriterError(
+                f"writer lease on {self.path} missing at commit time (owner {owner!r})"
+            )
+        if held.get("owner") != owner:
+            raise ConcurrentWriterError(
+                f"writer lease on {self.path} now held by {held.get('owner')!r}; "
+                f"{owner!r} overran its ttl — aborting commit"
+            )
 
     def release_writer_lease(self, owner: str) -> None:
         lease_path = self._meta_path(LEASE_FILE)

@@ -1,0 +1,351 @@
+"""FileSystem seam: object-store adapter, lease protocol fencing, fault
+injection.
+
+The lease race under test (round-2 verdict #1): two writers that both observe
+an expired lease must never BOTH acquire. Takeover is a compare-and-swap on
+the observed stale content (``replace_if_equals``) — remove-then-create had an
+interleaving where writer B's remove deleted the lease writer A had just
+re-created.
+"""
+
+import json
+import os
+import threading
+import time
+
+import pytest
+
+from standardized_omop_data_etl_spark.sources.fs import (
+    FaultInjectingFileSystem,
+    FsspecFileSystem,
+    InMemoryFileSystem,
+    LocalFileSystem,
+)
+from standardized_omop_data_etl_spark.sources.lake import (
+    ConcurrentWriterError,
+    LakeTable,
+)
+
+
+class FakeFsspec:
+    """In-process stand-in exposing the fsspec AbstractFileSystem method
+    surface over the real local disk (so Spark can read/write the data files),
+    including conditional create via ``pipe_file(..., mode="create")`` — the
+    S3 If-None-Match / GCS ifGenerationMatch=0 analogue s3fs>=2024.10 maps to.
+    """
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.conditional_creates = 0
+
+    def exists(self, path):
+        return os.path.exists(path)
+
+    def isdir(self, path):
+        return os.path.isdir(path)
+
+    def ls(self, path, detail=False):
+        return [os.path.join(path, p) for p in os.listdir(path)]
+
+    def size(self, path):
+        return os.path.getsize(path)
+
+    def makedirs(self, path, exist_ok=True):
+        os.makedirs(path, exist_ok=exist_ok)
+
+    def cat_file(self, path):
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except IsADirectoryError:
+            raise FileNotFoundError(path)
+
+    def pipe_file(self, path, data, mode="overwrite"):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with self._lock:
+            if mode == "create":
+                self.conditional_creates += 1
+                if os.path.exists(path):
+                    raise FileExistsError(path)
+            with open(path, "wb") as f:
+                f.write(data)
+
+    def replace_if_equals(self, path, expected, data):
+        with self._lock:
+            try:
+                with open(path, "rb") as f:
+                    if f.read() != expected:
+                        return False
+            except FileNotFoundError:
+                return False
+            with open(path, "wb") as f:
+                f.write(data)
+            return True
+
+    def rm_file(self, path):
+        os.remove(path)
+
+    def rm(self, path, recursive=False):
+        import shutil
+
+        if recursive:
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+
+
+def _fs(kind):
+    if kind == "local":
+        return LocalFileSystem()
+    return FsspecFileSystem(FakeFsspec())
+
+
+def _stale_lease(tbl, owner="crashed", age_sec=10_000.0):
+    tbl.fs.write_text_atomic(
+        tbl._meta_path("_lease"),
+        json.dumps({"owner": owner, "acquired_at": time.time() - age_sec}),
+    )
+
+
+# ---------------------------------------------------------------------------
+# primitive semantics across implementations
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["inmem", "local", "fsspec"])
+def test_fs_primitives(kind, tmp_path):
+    fs = InMemoryFileSystem() if kind == "inmem" else _fs(kind)
+    root = "/r" if kind == "inmem" else str(tmp_path)
+    fs.makedirs(fs.join(root, "d"))
+    p = fs.join(root, "d", "f.txt")
+    assert not fs.exists(p)
+    fs.write_text_atomic(p, "one")
+    assert fs.exists(p) and fs.read_text(p) == "one" and fs.getsize(p) == 3
+    assert fs.isdir(fs.join(root, "d")) and "f.txt" in fs.listdir(fs.join(root, "d"))
+    # create_exclusive: second creator loses
+    q = fs.join(root, "d", "lease")
+    assert fs.create_exclusive(q, "a") is True
+    assert fs.create_exclusive(q, "b") is False
+    assert fs.read_text(q) == "a"
+    # CAS: succeeds only on matching content, exactly once per observation
+    assert fs.replace_if_equals(q, "a", "c") is True
+    assert fs.read_text(q) == "c"
+    assert fs.replace_if_equals(q, "a", "d") is False  # stale expectation
+    assert fs.replace_if_equals(fs.join(root, "nope"), "x", "y") is False
+    fs.remove(q)
+    assert not fs.exists(q)
+    fs.rmtree(fs.join(root, "d"))
+    assert not fs.exists(p)
+
+
+def test_inmemory_cas_thread_race():
+    fs = InMemoryFileSystem()
+    fs.write_text_atomic("/lease", "stale")
+    wins = []
+    barrier = threading.Barrier(16)
+
+    def contend(i):
+        barrier.wait()
+        if fs.replace_if_equals("/lease", "stale", f"owner-{i}"):
+            wins.append(i)
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert fs.read_text("/lease") == f"owner-{wins[0]}"
+
+
+# ---------------------------------------------------------------------------
+# lease protocol: fenced takeover
+# ---------------------------------------------------------------------------
+
+
+def _bare_table(fs, root="/tbl"):
+    """Lease methods only touch fs + paths — no Spark session needed."""
+    t = LakeTable.__new__(LakeTable)
+    t.spark = None
+    t.fs = fs
+    t.path = fs.abspath(root)
+    fs.makedirs(fs.join(t.path, "metadata"))
+    return t
+
+
+def test_takeover_race_single_winner_deterministic():
+    """Force the exact interleaving from the round-2 verdict: A and B both
+    observe the same stale lease; B's takeover path is interrupted at its CAS
+    call, during which A completes a FULL takeover. With remove-then-create, B
+    would delete A's fresh lease and both would win; with CAS, B must lose."""
+    inner = InMemoryFileSystem()
+    a_tbl = _bare_table(inner)
+    state = {"a_done": False}
+
+    def hook(op, path):
+        if op == "replace_if_equals" and not state["a_done"]:
+            state["a_done"] = True
+            # writer A completes its entire takeover while B sits at the CAS
+            assert a_tbl.acquire_writer_lease(owner="writer-A", ttl_sec=1.0) == "writer-A"
+
+    b_fs = FaultInjectingFileSystem(inner, hook=hook)
+    b_tbl = _bare_table(b_fs)
+    _stale_lease(a_tbl)
+    with pytest.raises(ConcurrentWriterError) as e:
+        b_tbl.acquire_writer_lease(owner="writer-B", ttl_sec=1.0)
+    assert "writer-A" in str(e.value)
+    # A's lease is intact — B's losing attempt did not remove or replace it
+    held = json.loads(inner.read_text("/tbl/metadata/_lease"))
+    assert held["owner"] == "writer-A"
+
+
+def test_takeover_stress_exactly_one_winner():
+    fs = InMemoryFileSystem()
+    tbl = _bare_table(fs)
+    _stale_lease(tbl)
+    outcomes = {}
+    barrier = threading.Barrier(12)
+
+    def contend(i):
+        t = _bare_table(fs)
+        barrier.wait()
+        try:
+            outcomes[i] = t.acquire_writer_lease(owner=f"w{i}", ttl_sec=300.0)
+        except ConcurrentWriterError:
+            outcomes[i] = None
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [o for o in outcomes.values() if o is not None]
+    assert len(winners) == 1
+    assert json.loads(fs.read_text("/tbl/metadata/_lease"))["owner"] == winners[0]
+
+
+def test_renewal_and_overrun_fencing():
+    fs = InMemoryFileSystem()
+    tbl = _bare_table(fs)
+    owner = tbl.acquire_writer_lease(owner="long-job", ttl_sec=600)
+    t0 = json.loads(fs.read_text("/tbl/metadata/_lease"))["acquired_at"]
+    time.sleep(0.01)
+    tbl.renew_writer_lease(owner)
+    t1 = json.loads(fs.read_text("/tbl/metadata/_lease"))["acquired_at"]
+    assert t1 > t0  # renewal refreshed the timestamp
+    tbl.assert_writer_lease(owner)
+
+    # simulate ttl overrun: backdate, let another writer take over
+    _stale_lease(tbl, owner="long-job")
+    taker = _bare_table(fs)
+    assert taker.acquire_writer_lease(owner="taker", ttl_sec=60) == "taker"
+    # the over-runner's renewal and commit fence now fail loudly
+    with pytest.raises(ConcurrentWriterError):
+        tbl.renew_writer_lease("long-job")
+    with pytest.raises(ConcurrentWriterError):
+        tbl.assert_writer_lease("long-job")
+    # and its release is a no-op against the taker's lease
+    tbl.release_writer_lease("long-job")
+    assert json.loads(fs.read_text("/tbl/metadata/_lease"))["owner"] == "taker"
+
+
+def test_release_reacquire_race_retries():
+    """A reader that hits FileNotFoundError between exists and read (release
+    racing acquire) retries the create instead of failing."""
+    inner = InMemoryFileSystem()
+    calls = {"n": 0}
+
+    def hook(op, path):
+        if op == "read_text" and path.endswith("_lease") and calls["n"] == 0:
+            calls["n"] += 1
+            inner.remove(path)  # lease released just before our read
+
+    fs = FaultInjectingFileSystem(inner, hook=hook)
+    tbl = _bare_table(fs)
+    inner.write_text_atomic(
+        "/tbl/metadata/_lease", json.dumps({"owner": "o", "acquired_at": time.time()})
+    )
+    assert tbl.acquire_writer_lease(owner="retry-w", ttl_sec=600) == "retry-w"
+
+
+# ---------------------------------------------------------------------------
+# lake lifecycle over the object-store adapter (seam-completeness matrix)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["local", "fsspec"])
+def test_lake_replay_matrix_over_fs(spark, tmp_path, kind):
+    """Full lake lifecycle — bootstrap, multi-epoch merge, reapply-noop,
+    compaction, tombstone vacuum, snapshot expiry, time travel — runs
+    identically over LocalFileSystem and the fsspec object-store adapter."""
+    from standardized_omop_data_etl_spark.plans.maintenance import (
+        compact_buckets,
+        vacuum_tombstones,
+    )
+    from standardized_omop_data_etl_spark.plans.merge import merge_into
+    from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+    from standardized_omop_data_etl_spark.sources.oracle import (
+        canonicalize,
+        expected_final_state,
+    )
+
+    fs = _fs(kind)
+    base = base_sequences(spark, 80, seed=33, max_len=16)
+    log = change_log(spark, 400, 80, seed=33, max_len=16)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / f"t-{kind}"), schema=base.schema, key_col="doc_id",
+        num_buckets=4, overwrite=True, fs=fs,
+    )
+    tbl.overwrite_full(base)
+    pdf = log.toPandas().sort_values("lsn", kind="stable")
+    third = len(pdf) // 3
+    for i, lo in enumerate(range(0, len(pdf), third)):
+        chunk = spark.createDataFrame(pdf.iloc[lo : lo + third], schema=log.schema)
+        r = merge_into(tbl, chunk, epoch=f"e{i}")
+        assert not r.skipped
+    assert merge_into(tbl, log.limit(1), epoch="e0").skipped  # exactly-once
+    compact_buckets(tbl, max_files_per_bucket=1)
+    vacuum_tombstones(tbl, watermark_lsn=10**9)
+    tbl.expire_snapshots(keep_last=2)
+    got = canonicalize(tbl.read().toPandas())
+    exp = canonicalize(expected_final_state(base.toPandas(), log.toPandas()))
+    assert got.values.tolist() == exp.values.tolist()
+    if kind == "fsspec":
+        # the lease went through the conditional-create path, not exists+PUT
+        assert fs.fs.conditional_creates > 0
+        assert fs.supports_conditional_writes
+
+
+def test_crash_mid_commit_leaves_previous_snapshot(spark, tmp_path):
+    """Fault injection: the commit's pointer flip fails after the manifest
+    file lands. The table must stay at the previous version, read cleanly,
+    and accept a rerun of the same epoch."""
+    from standardized_omop_data_etl_spark.plans.merge import merge_into
+    from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+
+    boom = {"armed": False}
+
+    def hook(op, path):
+        if boom["armed"] and op == "write_text_atomic" and path.endswith("_current"):
+            boom["armed"] = False
+            raise OSError("injected: lost connection during pointer flip")
+
+    fs = FaultInjectingFileSystem(LocalFileSystem(), hook=hook)
+    base = base_sequences(spark, 40, seed=7, max_len=8)
+    log = change_log(spark, 150, 40, seed=7, max_len=8)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "crash"), schema=base.schema, key_col="doc_id",
+        num_buckets=4, overwrite=True, fs=fs,
+    )
+    tbl.overwrite_full(base)
+    v_before = tbl.current_version()
+    state_before = sorted(map(tuple, tbl.read().collect()))
+    boom["armed"] = True
+    with pytest.raises(OSError, match="injected"):
+        merge_into(tbl, log, epoch="doomed")
+    assert tbl.current_version() == v_before
+    assert sorted(map(tuple, tbl.read().collect())) == state_before
+    assert "doomed" not in tbl.applied_epochs()
+    # rerun applies cleanly (scratch sweep handles the orphaned files)
+    r = merge_into(tbl, log, epoch="doomed")
+    assert not r.skipped and r.metrics["events_applied"] > 0
