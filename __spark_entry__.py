@@ -346,13 +346,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         # simhash block-collision candidates VERIFIED by exact jaccard —
         # same oracle contract as minhash_lsh (candidate recall == 1).
-        # max_distance=12 (13 blocks): measured true->=0.8-pair hamming max
-        # is 10 at sf0.01; 16 was needlessly collision-happy (wide buckets).
+        # max_distance=12: measured true->=0.8-pair hamming max is 10 at
+        # sf0.01. n_docs makes the block count ADAPTIVE (dedup.
+        # simhash_adaptive_blocks): at sf-test scale it returns the full
+        # 13-block pigeonhole split; at corpus scale it widens blocks so the
+        # skew cap stops silently zeroing recall (round-2 hazard #2).
         docs = _t(spark, sf, "documents")
-        cand = DD.simhash_duplicates(docs, "text", "doc_id", max_distance=12)
+        cand = DD.simhash_duplicates(
+            docs, "text", "doc_id", max_distance=12, n_docs=docs.count()
+        )
         return DD.ngram_jaccard_pairs(
             docs, "text", "doc_id", k=3, threshold=0.8, candidates=cand.select("id_a", "id_b")
         )
+
+    def q_lsh_drop_stats(spark, sf):
+        # "no silent caps": candidate generation now ACCOUNTS for what the
+        # skew cap removes. The oracle pins both families to zero drops at
+        # this sf — if any bucket exceeded the cap, dropped_members would be
+        # non-zero and the hash check would fail (the non-zero detection path
+        # is exercised by tests/test_operators.py::test_hot_bucket_drop_stats).
+        docs = _t(spark, sf, "documents")
+        n = docs.count()
+        _, mh = DD.minhash_lsh_with_stats(docs, "text", "doc_id", num_hashes=16, bands=8)
+        _, sh = DD.simhash_with_stats(docs, "text", "doc_id", max_distance=12, n_docs=n)
+        return (
+            mh.withColumn("family", F.lit("minhash"))
+            .unionByName(sh.withColumn("family", F.lit("simhash")))
+            .select("family", "dropped_buckets", "dropped_members", "max_bucket")
+        )
+
+    def q_jaccard_df_stats(spark, sf):
+        # df-cutoff accounting for the inverted-index path: with a cutoff low
+        # enough to bite at this sf, the dropped-shingle/posting counts must
+        # equal DuckDB's exact document-frequency tally.
+        docs = _t(spark, sf, "documents")
+        return DD.jaccard_df_cutoff_stats(docs, "text", "doc_id", k=3, df_max=5)
 
     def _planted_corpus(spark, sf):
         """ANN fixture with planted cluster structure, derived from the
@@ -576,6 +604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "lsh_drop_stats": q_lsh_drop_stats,
+        "jaccard_df_stats": q_jaccard_df_stats,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "year_fallback": q_year_fallback,
@@ -878,6 +908,36 @@ def oracle_sql() -> dict[str, str]:
         # brute-force pair set, so hash equality asserts candidate recall==1.
         "minhash_lsh": _JACCARD_ORACLE.format(threshold=0.8),
         "simhash": _JACCARD_ORACLE.format(threshold=0.8),
+        # both LSH families must report ZERO drops at this sf — a capped run
+        # is no longer indistinguishable from a complete one, so any bucket
+        # past the cap would surface here as a hash mismatch.
+        "lsh_drop_stats": """
+            SELECT 'minhash' AS family, CAST(0 AS BIGINT) AS dropped_buckets,
+                   CAST(0 AS BIGINT) AS dropped_members, CAST(1000 AS BIGINT) AS max_bucket
+            UNION ALL
+            SELECT 'simhash', CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1000 AS BIGINT)
+        """,
+        # exact document-frequency tally of word-3-gram shingles past df_max=5
+        "jaccard_df_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                          WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                          ELSE [] END AS g
+              FROM w),
+            inv AS (SELECT unnest(g) AS gram FROM sh),
+            per AS (SELECT gram, count(*) AS df FROM inv GROUP BY 1 HAVING count(*) > 5)
+            SELECT CAST(count(*) AS BIGINT) AS dropped_shingles,
+                   CAST(coalesce(sum(df), 0) AS BIGINT) AS dropped_postings,
+                   CAST(5 AS BIGINT) AS df_max
+            FROM per
+        """,
         "lsh_topk": _PLANTED_TOPK_ORACLE,
         "ivf_topk": _PLANTED_TOPK_ORACLE,
         "redundancy_inner": """

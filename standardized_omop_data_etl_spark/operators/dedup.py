@@ -126,6 +126,19 @@ def oversized_buckets(buckets: DataFrame, max_bucket: int) -> DataFrame:
     )
 
 
+def drop_stats(buckets: DataFrame, max_bucket: int) -> DataFrame:
+    """One-row accounting of what the skew cap removes from candidate
+    generation: ``(dropped_buckets, dropped_members, max_bucket)``. Zero rows
+    dropped ⇒ the candidate set is COMPLETE (no silent caps); non-zero ⇒ the
+    run must surface it (the ``*_with_stats`` entry points return this next
+    to the pairs, and the driver queries expose it as ``*_drop_stats``)."""
+    return oversized_buckets(buckets, max_bucket).agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("dropped_buckets"),
+        F.coalesce(F.sum("n_members"), F.lit(0)).cast("long").alias("dropped_members"),
+        F.lit(max_bucket).cast("long").alias("max_bucket"),
+    )
+
+
 def _bucket_pairs(
     buckets: DataFrame,
     payload: list[str] | None = None,
@@ -171,6 +184,28 @@ def _bucket_pairs(
     return pairs.select(*out).distinct()
 
 
+def _minhash_banded(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, bands: int, k: int
+) -> DataFrame:
+    rows = num_hashes // bands
+    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
+    return sig.select(
+        "_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",", *[F.col(f"_h{b * rows + r}").cast("string") for r in range(rows)]
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band", "_bucket"),
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -186,25 +221,49 @@ def minhash_lsh_candidates(
     band hash land in the same bucket; pairs come from a per-bucket member
     explode so work is proportional to bucket sizes, never |docs|². Returns
     distinct (id_a < id_b) pairs. Buckets with more than ``max_bucket``
-    members are dropped (see ``_bucket_pairs``)."""
-    rows = num_hashes // bands
-    sig = minhash_signatures_df(df, text_col, id_col, num_hashes, k)
-    banded = sig.select(
-        "_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",", *[F.col(f"_h{b * rows + r}").cast("string") for r in range(rows)]
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band", "_bucket"),
-    )
+    members are dropped (see ``_bucket_pairs``); use
+    ``minhash_lsh_with_stats`` when the run must account for the drops."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, k)
     return _bucket_pairs(banded, max_bucket=max_bucket)
+
+
+def minhash_lsh_with_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+) -> tuple[DataFrame, DataFrame]:
+    """``minhash_lsh_candidates`` plus the drop accounting: returns
+    ``(pairs, stats)`` where stats is the one-row ``drop_stats`` frame. A
+    capped run is now distinguishable from a complete one — stats showing
+    ``dropped_members == 0`` certifies the candidate set is exhaustive for
+    the banding scheme."""
+    banded = _minhash_banded(df, text_col, id_col, num_hashes, bands, k)
+    cap = max_bucket if max_bucket is not None else (1 << 62)
+    return _bucket_pairs(banded, max_bucket=max_bucket), drop_stats(banded, cap)
+
+
+def jaccard_df_cutoff_stats(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3, df_max: int = DEFAULT_DF_MAX
+) -> DataFrame:
+    """One-row accounting of the ``ngram_jaccard_pairs`` df-cutoff:
+    ``(dropped_shingles, dropped_postings, df_max)`` — how many distinct
+    shingles exceeded the document-frequency cap (and the total posting rows
+    excluded with them). Zero dropped shingles certifies the inverted-index
+    candidate set was EXACT; non-zero quantifies the only pairs the capped
+    path can miss (pairs whose every common shingle is ultra-common)."""
+    inv = df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(F.col(text_col), k)).alias("_g")
+    )
+    per = inv.groupBy("_g").agg(F.count(F.lit(1)).alias("_df")).filter(F.col("_df") > df_max)
+    return per.agg(
+        F.coalesce(F.count(F.lit(1)), F.lit(0)).alias("dropped_shingles"),
+        F.coalesce(F.sum("_df"), F.lit(0)).cast("long").alias("dropped_postings"),
+        F.lit(df_max).cast("long").alias("df_max"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -401,25 +460,39 @@ def simhash_signatures_df(
     )
 
 
-def simhash_duplicates(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    k: int = 3,
-    max_distance: int = 3,
-    blocks: int | None = None,
-    max_bucket: int | None = DEFAULT_MAX_BUCKET,
-) -> DataFrame:
-    """Near-dup pairs by SimHash block match (Manku et al. pigeonhole): split
-    the 64-bit signature into ``max_distance + 1`` blocks — any pair within
-    ``max_distance`` Hamming bits MUST share at least one whole block → join
-    on (block_idx, block_value), then verify with the exact Hamming distance.
+def simhash_adaptive_blocks(
+    n_docs: int,
+    max_distance: int,
+    max_bucket: int = DEFAULT_MAX_BUCKET,
+    margin: int = 16,
+) -> int:
+    """Block count for ``simhash_duplicates`` that keeps expected bucket
+    population under the skew cap as the corpus grows.
 
-    Scale note: larger ``max_distance`` → narrower blocks → bigger collision
-    buckets. The default (3 ⇒ four 16-bit blocks) is the classic web-dedup
-    setting; recall-oriented callers can raise it at candidate-volume cost."""
-    if blocks is None:
-        blocks = min(max_distance + 1, 32)
+    ``max_distance + 1`` blocks give the Manku pigeonhole GUARANTEE (any pair
+    within the distance shares a whole block) — but wide distances over 64
+    bits make each block narrow: at ``max_distance=12``, 13 blocks of ~5 bits
+    ⇒ ≤32 distinct values per band, so past ~``32 × max_bucket`` docs EVERY
+    bucket exceeds the cap and candidate generation silently returns nothing
+    (the round-2 scale hazard). This helper caps blocks so each block keeps
+    ``2^width ≥ margin × n_docs / max_bucket`` distinct values — buckets stay
+    ~``max_bucket/margin`` even under a uniform signature distribution.
+
+    When the returned count is BELOW ``max_distance + 1`` the guarantee
+    degrades to high-probability recall (a pair must fit its ``max_distance``
+    differing bits outside one of the wider blocks); the caller sees that by
+    comparing the return value to ``max_distance + 1`` — at small corpora the
+    two coincide and behavior is unchanged."""
+    import math
+
+    need = max(1, (margin * max(n_docs, 1)) // max(max_bucket, 1))
+    width = max(2, math.ceil(math.log2(need)))  # 2^width distinct block values
+    return max(1, min(max_distance + 1, 64 // width, 32))
+
+
+def _simhash_blocked(
+    df: DataFrame, text_col: str, id_col: str, k: int, blocks: int
+) -> DataFrame:
     sig = simhash_signatures_df(df, text_col, id_col, k)
     # distribute 64 bits over `blocks` contiguous blocks (widths differ by ≤1)
     base_w, extra = divmod(64, blocks)
@@ -428,7 +501,7 @@ def simhash_duplicates(
         w = base_w + (1 if i < extra else 0)
         bounds.append((off, w))
         off += w
-    blocked = sig.select(
+    return sig.select(
         "_id",
         "_sim",
         F.posexplode(
@@ -440,8 +513,70 @@ def simhash_duplicates(
             )
         ).alias("_band", "_bucket"),
     )
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_distance: int = 3,
+    blocks: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash block match (Manku et al. pigeonhole): split
+    the 64-bit signature into ``max_distance + 1`` blocks — any pair within
+    ``max_distance`` Hamming bits MUST share at least one whole block → join
+    on (block_idx, block_value), then verify with the exact Hamming distance.
+
+    Scale note: larger ``max_distance`` → narrower blocks → bigger collision
+    buckets, to the point where the skew cap would drop EVERY bucket. Pass
+    ``n_docs`` (an exact or estimated corpus size) to pick the block count
+    adaptively via ``simhash_adaptive_blocks`` — at small corpora it returns
+    the guaranteed ``max_distance + 1`` split; at scale it widens blocks so
+    buckets stay under ``max_bucket`` (trading the hard guarantee for
+    high-probability recall instead of silent zero recall). Explicit
+    ``blocks`` overrides. ``simhash_with_stats`` additionally returns the
+    drop accounting."""
+    if blocks is None:
+        if n_docs is not None and max_bucket is not None:
+            blocks = simhash_adaptive_blocks(n_docs, max_distance, max_bucket)
+        else:
+            blocks = min(max_distance + 1, 32)
+    blocked = _simhash_blocked(df, text_col, id_col, k, blocks)
     pairs = _bucket_pairs(blocked, payload=["_sim"], max_bucket=max_bucket)
     hamming = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming_distance")).filter(
         F.col("hamming_distance") <= max_distance
     )
+
+
+def simhash_with_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    max_distance: int = 3,
+    blocks: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    n_docs: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``simhash_duplicates`` plus the one-row ``drop_stats`` frame (cf.
+    ``minhash_lsh_with_stats``): non-zero ``dropped_members`` means the pair
+    set is incomplete for the chosen blocking and the caller must either
+    widen blocks (smaller ``blocks`` / bigger ``n_docs`` hint) or raise the
+    cap."""
+    if blocks is None:
+        if n_docs is not None and max_bucket is not None:
+            blocks = simhash_adaptive_blocks(n_docs, max_distance, max_bucket)
+        else:
+            blocks = min(max_distance + 1, 32)
+    blocked = _simhash_blocked(df, text_col, id_col, k, blocks)
+    cap = max_bucket if max_bucket is not None else (1 << 62)
+    pairs = _bucket_pairs(blocked, payload=["_sim"], max_bucket=max_bucket)
+    hamming = F.bit_count(F.col("_sim_a").bitwiseXOR(F.col("_sim_b")))
+    out = pairs.select("id_a", "id_b", hamming.alias("hamming_distance")).filter(
+        F.col("hamming_distance") <= max_distance
+    )
+    return out, drop_stats(blocked, cap)

@@ -241,6 +241,102 @@ def test_bucket_cap_drops_hot_bucket(spark):
     assert un.count() == 200 * 199 // 2 + 1
 
 
+def test_hot_bucket_drop_stats(spark):
+    """Round-3: a capped run must be DISTINGUISHABLE from a complete one.
+    A 2000-member hot bucket (far past cap) stays bounded — no task ever
+    materializes the member list — AND the drop accounting reports it."""
+    hot = [(i, "the exact same boilerplate text repeated verbatim") for i in range(2000)]
+    pair = [(10_000, "alpha beta gamma delta epsilon zeta eta theta"),
+            (10_001, "alpha beta gamma delta epsilon zeta eta iota")]
+    df = spark.createDataFrame(hot + pair, "id long, text string")
+
+    pairs, stats = DD.minhash_lsh_with_stats(
+        df, "text", "id", num_hashes=16, bands=8, max_bucket=1000
+    )
+    got = {(a, b) for a, b in rows(pairs)}
+    st = stats.collect()[0]
+    assert (10_000, 10_001) in got and all(a >= 10_000 for a, b in got)
+    # identical docs share every band → 8 oversized buckets of 2000 members
+    assert st["dropped_buckets"] == 8
+    assert st["dropped_members"] == 8 * 2000
+
+    spairs, sstats = DD.simhash_with_stats(
+        df, "text", "id", max_distance=3, max_bucket=1000
+    )
+    sst = sstats.collect()[0]
+    assert sst["dropped_buckets"] == 4 and sst["dropped_members"] == 4 * 2000
+    assert all(a >= 10_000 for a, b, _ in [tuple(r) for r in spairs.collect()])
+
+    # a clean corpus certifies completeness: zero drops reported
+    _, clean = DD.minhash_lsh_with_stats(
+        spark.createDataFrame(pair, "id long, text string"), "text", "id",
+        num_hashes=16, bands=8,
+    )
+    c = clean.collect()[0]
+    assert c["dropped_buckets"] == 0 and c["dropped_members"] == 0
+
+
+def test_simhash_adaptive_blocks(spark):
+    """Wide max_distance no longer zeroes recall at corpus scale: the block
+    count narrows as n_docs grows, and small corpora keep the full
+    pigeonhole split (13 blocks at max_distance=12)."""
+    assert DD.simhash_adaptive_blocks(500, 12) == 13
+    assert DD.simhash_adaptive_blocks(5_000, 12) < 13
+    big = DD.simhash_adaptive_blocks(100_000_000, 12)
+    assert 1 <= big < DD.simhash_adaptive_blocks(5_000, 12)
+    # monotone non-increasing in corpus size
+    sizes = [10**i for i in range(2, 10)]
+    vals = [DD.simhash_adaptive_blocks(n, 12) for n in sizes]
+    assert vals == sorted(vals, reverse=True)
+
+    # behaviorally: with n_docs passed, a 40k-ish uniform corpus still finds
+    # a planted near-dup pair (fixed 13 blocks with a 1000-cap at this scale
+    # would need every ~5-bit bucket under the cap — guaranteed violated past
+    # 32k docs). Use a smaller corpus + small cap to model the same regime.
+    import random
+
+    rng = random.Random(7)
+    words = ["w%d" % i for i in range(500)]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(30))) for i in range(3000)
+    ]
+    base30 = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu "
+        "nu xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+        "three four five six"
+    )
+    near = [  # one appended word over 30 → hamming 4: a true near-dup
+        (20_000, base30 + " seven"),
+        (20_001, base30 + " seven extra"),
+    ]
+    df = spark.createDataFrame(docs + near, "id long, text string")
+    # fixed 13 blocks, cap 120: ~5-bit buckets hold 3000/32 ≈ 94 docs on
+    # average — skewed ones blow the cap and recall quietly craters
+    fixed, fstats = DD.simhash_with_stats(
+        df, "text", "id", max_distance=12, max_bucket=120
+    )
+    adaptive, astats = DD.simhash_with_stats(
+        df, "text", "id", max_distance=12, max_bucket=120, n_docs=3002
+    )
+    a_pairs = {(a, b) for a, b, _ in [tuple(r) for r in adaptive.collect()]}
+    assert (20_000, 20_001) in a_pairs
+    assert astats.collect()[0]["dropped_members"] == 0
+    assert fstats.collect()[0]["dropped_members"] > 0  # fixed split was capped
+
+
+def test_jaccard_df_cutoff_stats(spark):
+    df = spark.createDataFrame(
+        [(i, "common stop gram filler%d" % i) for i in range(40)]
+        + [(100, "rare unique shingle one"), (101, "rare unique shingle two")],
+        "id long, text string",
+    )
+    st = DD.jaccard_df_cutoff_stats(df, "text", "id", k=3, df_max=10).collect()[0]
+    # 'common stop gram' appears in 40 docs (> 10); every other 3-gram is rare
+    assert st["dropped_shingles"] == 1 and st["dropped_postings"] == 40
+    clean = DD.jaccard_df_cutoff_stats(df, "text", "id", k=3, df_max=50).collect()[0]
+    assert clean["dropped_shingles"] == 0 and clean["dropped_postings"] == 0
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog again and again today"
     df = spark.createDataFrame(
