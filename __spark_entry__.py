@@ -569,8 +569,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", TX.token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe")
         )
 
+    def q_cdc_mor_state(spark, sf):
+        # merge-on-read MERGE path end to end: the events stream applied as
+        # two out-of-order mor epochs (append-only deltas + read-time LWW),
+        # final visible state == plain SQL LWW over the log. Exercises
+        # plans/merge.py:_merge_mor_locked + sources/lake.py mor read resolve.
+        from standardized_omop_data_etl_spark.plans.merge import merge_into
+        from standardized_omop_data_etl_spark.sources.lake import LSN_COL, LakeTable
+
+        ev = _t(spark, sf, "events")
+        batch = ev.select(
+            F.col("event_id").alias("lsn"),
+            F.lit("upsert").alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        payload = batch.drop("lsn", "op").schema
+        tbl = LakeTable.create(
+            spark, "/tmp/q_cdc_mor_tbl", schema=payload, key_col="user_id",
+            num_buckets=8, overwrite=True,
+        )
+        # odd lsns first, then even: mor correctness may not depend on order
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 1), epoch="odd", mode="mor")
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 0), epoch="even", mode="mor")
+        return tbl.read(
+            include_hidden=True,
+            columns=["user_id", "event_type", "value", LSN_COL],
+        ).select(
+            "user_id", F.col(LSN_COL).alias("last_lsn"), "event_type", "value"
+        )
+
     return {
         "cdc_lww_state": q_cdc_lww_state,
+        "cdc_mor_state": q_cdc_mor_state,
         "priority_dedup": q_priority_dedup,
         "minmax_periods": q_minmax_periods,
         "anti_join_delete": q_anti_join_delete,
@@ -632,6 +664,13 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id AS last_lsn, event_type, value
             FROM w WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_mor_state": """
+            WITH w AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_id AS last_lsn, event_type, value
+            FROM w WHERE rn = 1
         """,
         "priority_dedup": """
             WITH p AS (

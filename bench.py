@@ -41,6 +41,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    load_start = os.getloadavg()
 
     import __spark_entry__ as entrymod
     from standardized_omop_data_etl_spark.session import get_spark
@@ -57,14 +58,14 @@ def main() -> None:
     # spells; the min of two back-to-back runs is a far better estimate of
     # the uncontended cost than a single sample.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = None
+        samples[name] = []
         for _rep in range(2):
             t0 = time.time()
             qs[name](spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples[name].append(round(time.time() - t0, 3))
+        timings[name] = min(samples[name])
 
     # Replay throughput (north-rule metric): synthetic log at sf-scaled size.
     from standardized_omop_data_etl_spark.plans.replay import replay_log
@@ -92,6 +93,7 @@ def main() -> None:
         replay_log(tbl, log, num_epochs=2)
         dt = time.time() - t0
         replay_sec = dt if replay_sec is None else min(replay_sec, dt)
+        samples.setdefault("cdc_replay", []).append(round(dt, 3))
     timings["cdc_replay"] = round(replay_sec, 3)
     log.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
@@ -107,6 +109,18 @@ def main() -> None:
                 "sf": float(sf),
                 "replay_events": n_events,
                 "replay_events_per_sec": round(n_events / replay_sec, 1),
+                # provenance: a noise-contaminated sample is mechanically
+                # detectable — loadavg ≫ cpus-in-use, or rep-to-rep spread
+                # far beyond the min (min-of-2 is reported above).
+                "provenance": {
+                    "loadavg_start": [round(x, 2) for x in load_start],
+                    "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+                    "cpus": cpus,
+                    "host_cpus": os.cpu_count(),
+                    "reps_per_query": 2,
+                    "aggregation": "min",
+                    "samples": samples,
+                },
             }
         )
     )

@@ -143,6 +143,7 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
         "num_buckets": new_num_buckets,
         "files": {str(b): fl for b, fl in new_files.items() if fl},
         "row_counts": {str(b): int(c) for b, c in counts.items()},
+        "mor_buckets": [],  # full rewrite materializes any merge-on-read state
         "properties": m["properties"],
         "summary": {"operation": "rebucket", "from": m["num_buckets"], "to": new_num_buckets},
     }

@@ -85,7 +85,6 @@ from ..sources.lake import (
     diff_schema,
 )
 
-APPLIED_EPOCHS_PROP = "applied_epochs"
 
 # The only ops merge_into applies. Anything else (e.g. op='invalid' from
 # parse_json_changelog's dead-letter rows) or a NULL LSN is silently
@@ -102,6 +101,19 @@ VALID_OPS = ("insert", "update", "delete", "upsert")
 BROADCAST_KEYS_MAX = 4_000_000
 
 
+# Action taxonomy of the MERGE matrix (shared by the cow and mor paths and
+# their per-bucket metrics).
+_ACTIONS = (
+    "inserts", "updates", "revives", "deletes", "redeletes",
+    "tombstone_inserts", "stale",
+)
+_ACTION_OF = {
+    "inserts": "insert", "updates": "update", "revives": "revive",
+    "deletes": "delete", "redeletes": "redelete",
+    "tombstone_inserts": "tombstone_insert", "stale": "stale",
+}
+
+
 @dataclass
 class MergeResult:
     version: int
@@ -113,7 +125,7 @@ class MergeResult:
 
 
 def _is_applied(table: LakeTable, epoch: str) -> bool:
-    return epoch in table.properties().get(APPLIED_EPOCHS_PROP, {})
+    return table.is_epoch_applied(epoch)
 
 
 def _sweep_stale_scratch(table: LakeTable) -> None:
@@ -136,10 +148,35 @@ def merge_into(
     op_col: str = "op",
     salt_partitions: int | None = None,
     source_name: str = "changelog",
+    mode: str = "cow",
+    missing: str = "null",
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
     enforced via the table's writer lease (a concurrent merge raises
-    ``ConcurrentWriterError`` instead of corrupting scratch/commit state)."""
+    ``ConcurrentWriterError`` instead of corrupting scratch/commit state).
+
+    ``mode`` selects the apply strategy (same final read state, different
+    cost shape — the Iceberg copy-on-write / merge-on-read choice):
+
+    * ``"cow"`` (default) — changed buckets are rewritten; reads stay pure
+      parquet scans. Write cost ∝ changed-bucket data: right when batches
+      are small relative to the buckets they touch, or reads dominate.
+    * ``"mor"`` — the batch's LWW winners are APPENDED as per-bucket delta
+      files (one payload write total; nothing rewritten) and readers resolve
+      per-key LWW over the touched buckets until ``compact_buckets``
+      materializes them. Write cost ∝ batch regardless of table size: right
+      for sustained high-throughput ingest, where an epoch touching every
+      bucket would otherwise rewrite the whole table each time. Metrics,
+      exactly-once stamping, schema evolution, and tombstone semantics are
+      identical (verified bit-exact against the cow path and the oracle).
+
+    ``missing`` is the policy for table columns absent from the batch
+    (``"null"`` fills NULL — partial-payload changelogs; ``"error"`` raises
+    ``SchemaEvolutionError``, flagging probable renames — see
+    ``diff_schema``).
+    """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
     epoch = str(epoch)
     if _is_applied(table, epoch):
         return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
@@ -151,9 +188,10 @@ def merge_into(
         # clobber the epoch's recorded metrics.
         if _is_applied(table, epoch):
             return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
-        return _merge_into_locked(
+        fn = _merge_mor_locked if mode == "mor" else _merge_into_locked
+        return fn(
             table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
-            lease_owner,
+            lease_owner, missing,
         )
     finally:
         table.release_writer_lease(lease_owner)
@@ -168,6 +206,7 @@ def _merge_into_locked(
     salt_partitions: int | None,
     source_name: str,
     lease_owner: str,
+    missing: str = "null",
 ) -> MergeResult:
     timing = os.environ.get("SODES_MERGE_TIMING") == "1"
     marks: list[tuple[str, float]] = [("start", time.time())]
@@ -192,7 +231,7 @@ def _merge_into_locked(
     payload_schema = T.StructType(
         [f for f in batch.schema.fields if f.name not in (lsn_col, op_col)]
     )
-    evolved, changes = diff_schema(table.schema(), payload_schema)
+    evolved, changes = diff_schema(table.schema(), payload_schema, missing=missing)
     if changes:
         table.alter_schema(evolved, changes)
 
@@ -239,14 +278,12 @@ def _merge_into_locked(
                 )
             }
             metrics["last_lsn"] = -1
-            applied = dict(table.properties().get(APPLIED_EPOCHS_PROP, {}))
-            applied[epoch] = {"last_lsn": -1, "metrics": metrics}
             table.assert_writer_lease(lease_owner)
             new_version = table.commit(
                 {}, set(), schema=evolved,
-                properties_update={APPLIED_EPOCHS_PROP: applied},
                 summary={"operation": "merge", "epoch": epoch, "metrics": metrics},
             )
+            table.stamp_epoch(epoch, -1, metrics, new_version)
             return MergeResult(
                 version=new_version, epoch=epoch, schema_changes=changes, metrics=metrics
             )
@@ -299,15 +336,6 @@ def _merge_into_locked(
 
         # ---- 4. Per-bucket metrics from the probe (north rule: per-partition
         # lineage + metrics), and the changed-bucket set.
-        _ACTIONS = (
-            "inserts", "updates", "revives", "deletes", "redeletes",
-            "tombstone_inserts", "stale",
-        )
-        _ACTION_OF = {
-            "inserts": "insert", "updates": "update", "revives": "revive",
-            "deletes": "delete", "redeletes": "redelete",
-            "tombstone_inserts": "tombstone_insert", "stale": "stale",
-        }
         stats = (
             resolved.groupBy("_bucket")
             .agg(
@@ -424,14 +452,11 @@ def _merge_into_locked(
         metrics["bytes_written"] = bytes_written
         mark("write")
 
-        applied = dict(table.properties().get(APPLIED_EPOCHS_PROP, {}))
-        applied[epoch] = {"last_lsn": metrics["last_lsn"], "metrics": metrics}
         table.assert_writer_lease(lease_owner)
         new_version = table.commit(
             new_files,
             replaced_buckets=set(changed),
             schema=evolved,
-            properties_update={APPLIED_EPOCHS_PROP: applied},
             summary={
                 "operation": "merge",
                 "epoch": epoch,
@@ -441,6 +466,7 @@ def _merge_into_locked(
             },
             row_counts_update=new_counts,
         )
+        table.stamp_epoch(epoch, metrics["last_lsn"], metrics, new_version)
         mark("commit")
     finally:
         if resolved is not None:
@@ -451,6 +477,241 @@ def _merge_into_locked(
             f"{label}={t - prev:.2f}s" for (label, t), (_, prev) in zip(marks[1:], marks)
         )
         print(f"[merge_into epoch={epoch}] {spans}")
+    return MergeResult(
+        version=new_version,
+        epoch=epoch,
+        schema_changes=changes,
+        metrics=metrics,
+        per_bucket=per_bucket,
+    )
+
+
+def _merge_mor_locked(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: str,
+    lsn_col: str,
+    op_col: str,
+    salt_partitions: int | None,
+    source_name: str,
+    lease_owner: str,
+    missing: str = "null",
+) -> MergeResult:
+    """Merge-on-read apply: ONE payload write per epoch.
+
+    The batch's LWW winners are written directly as final per-bucket delta
+    files — already carrying the physical hidden columns — and the commit
+    APPENDS them to the touched buckets (``LakeTable.commit(append=True)``),
+    marking those buckets merge-on-read; readers resolve per-key LWW until
+    compaction rewrites them. Compared to the cow path this removes both the
+    scratch round-trip and the changed-bucket rewrite: write cost is
+    O(batch) regardless of how much of the table the batch touches, which is
+    what keeps sustained ingest flat at the 10^10-event scale (an epoch that
+    touches every bucket would otherwise rewrite the full table each time).
+
+    The narrow metrics probe (winner keys vs the CURRENT resolved target
+    keys) is unchanged, so per-bucket metrics, ``conflicts_resolved``, and
+    the exactly-once stamp are bit-compatible with the cow path. Stale
+    winners are appended too — per-key LWW resolution makes them harmless by
+    construction — and simply counted as ``stale``.
+
+    Delta files additionally carry a transient ``_n_events`` column (the
+    per-key collapsed-event count feeding ``events_seen``); table readers
+    never see it because every read uses an explicit manifest schema.
+    """
+    timing = os.environ.get("SODES_MERGE_TIMING") == "1"
+    marks: list[tuple[str, float]] = [("start", time.time())]
+
+    def mark(label: str) -> None:
+        table.renew_writer_lease(lease_owner)
+        if timing:
+            marks.append((label, time.time()))
+
+    spark = table.spark
+    key = table.key_col
+    num_buckets = table.num_buckets
+    manifest = table.manifest()
+    prev_counts = {int(b): int(c) for b, c in manifest.get("row_counts", {}).items()}
+    _sweep_stale_scratch(table)
+
+    # ---- 1. ALTER-before-MERGE (identical to the cow path).
+    payload_schema = T.StructType(
+        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col)]
+    )
+    evolved, changes = diff_schema(table.schema(), payload_schema, missing=missing)
+    if changes:
+        table.alter_schema(evolved, changes)
+
+    # ---- 2. LWW winners written ONCE as final delta files (hidden cols
+    # stamped in the same projection; the window exchange is bucket-aligned
+    # so each task streams straight into its bucket dir).
+    batch = batch.filter(
+        F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
+    )
+    src = lww_latest(
+        batch,
+        key,
+        lsn_col,
+        salt_partitions=salt_partitions,
+        count_col="_n_events",
+        num_partitions=None if salt_partitions else num_buckets,
+    )
+    if salt_partitions:
+        src = src.repartition(num_buckets, F.col(key))
+    src_lineage = F.concat_ws(
+        " | ",
+        F.lit(source_name),
+        F.concat(F.lit("epoch="), F.lit(epoch)),
+        F.concat(F.lit("op="), F.col(op_col)),
+        F.concat(F.lit("lsn="), F.col(lsn_col).cast("string")),
+    )
+    delta = src.select(
+        *conform_exprs(src, evolved),
+        F.col(lsn_col).cast("long").alias(LSN_COL),
+        src_lineage.alias(LINEAGE_COL),
+        (F.col(op_col) == "delete").alias(DELETED_COL),
+        F.col("_n_events").cast("long").alias("_n_events"),
+        bucket_expr(key, num_buckets).alias("_bucket"),
+    )
+    version = table.current_version() + 1
+    new_files, _ = table.write_bucket_files(delta, version, cluster=False)
+    touched = sorted(new_files)
+    mark("lww+delta")
+
+    if not touched:  # empty batch: stamp the epoch, move nothing.
+        metrics = {k: 0 for k in (*_ACTIONS, "events_seen", "events_applied",
+                                  "conflicts_resolved", "bytes_written",
+                                  "buckets_touched", "buckets_rewritten",
+                                  "buckets_appended")}
+        metrics["last_lsn"] = -1
+        table.assert_writer_lease(lease_owner)
+        new_version = table.commit(
+            {}, set(), schema=evolved,
+            summary={"operation": "merge-mor", "epoch": epoch, "metrics": metrics},
+        )
+        table.stamp_epoch(epoch, -1, metrics, new_version)
+        return MergeResult(
+            version=new_version, epoch=epoch, schema_changes=changes, metrics=metrics
+        )
+
+    # ---- 3. Narrow metrics probe: delta winner keys vs the CURRENT resolved
+    # target keys — classification only, nothing downstream consumes it, so
+    # it is one aggregation job with no persist. Reading a mor bucket's keys
+    # applies LWW resolution inside LakeTable.read.
+    delta_files = [table.fs.join(table.path, f) for fl in new_files.values() for f in fl]
+    narrow_schema = T.StructType(
+        [
+            next(f for f in evolved.fields if f.name == key),
+            T.StructField(LSN_COL, T.LongType(), True),
+            T.StructField(DELETED_COL, T.BooleanType(), True),
+            T.StructField("_n_events", T.LongType(), True),
+        ]
+    )
+    srcn = (
+        spark.read.schema(narrow_schema)
+        .parquet(*delta_files)
+        .withColumn("_bucket", bucket_expr(key, num_buckets))
+    )
+    tgt_keys = table.read(
+        buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
+    )
+    narrow = srcn.join(
+        tgt_keys.withColumnRenamed(LSN_COL, "_t_lsn")
+        .withColumnRenamed(DELETED_COL, "_t_del")
+        .hint("shuffle_hash"),
+        on=key,
+        how="left",
+    )
+    newer = F.col("_t_lsn").isNull() | (F.col(LSN_COL) > F.col("_t_lsn"))
+    t_missing = F.col("_t_lsn").isNull()
+    t_dead = F.coalesce(F.col("_t_del"), F.lit(False))
+    is_del = F.coalesce(F.col(DELETED_COL), F.lit(False))
+    action = (
+        F.when(~newer, "stale")
+        .when(t_missing & is_del, "tombstone_insert")
+        .when(t_missing, "insert")
+        .when(t_dead & is_del, "redelete")
+        .when(t_dead, "revive")
+        .when(is_del, "delete")
+        .otherwise("update")
+    )
+    stats = (
+        narrow.withColumn("_action", action)
+        .groupBy("_bucket")
+        .agg(
+            *[
+                F.sum(F.when(F.col("_action") == _ACTION_OF[name], 1).otherwise(0)).alias(name)
+                for name in _ACTIONS
+            ],
+            F.sum("_n_events").alias("events_seen"),
+            F.max(F.col(LSN_COL)).alias("max_lsn"),
+        )
+        .collect()
+    )
+    mark("probe+stats")
+
+    per_bucket: dict[int, dict[str, int]] = {}
+    totals = {k: 0 for k in (*_ACTIONS, "events_seen")}
+    last_lsn = -1
+    new_counts: dict[int, int] = {}
+    bytes_written = 0
+    for r in stats:
+        d = r.asDict()
+        b = int(d.pop("_bucket"))
+        last_lsn = max(last_lsn, int(d.pop("max_lsn")))
+        pb = {k: int(v) for k, v in d.items()}
+        pb["writes"] = sum(pb[k] for k in _ACTIONS if k != "stale")
+        pb["kept"] = max(prev_counts.get(b, 0) - pb["updates"] - pb["deletes"], 0)
+        nbytes = sum(
+            table.fs.getsize(table.fs.join(table.path, f)) for f in new_files.get(b, [])
+        )
+        pb["bytes_written"] = nbytes
+        bytes_written += nbytes
+        per_bucket[b] = pb
+        for k in totals:
+            totals[k] += pb[k]
+        new_counts[b] = (
+            prev_counts.get(b, 0) + pb["inserts"] + pb["revives"] - pb["deletes"]
+        )
+    metrics = {
+        **totals,
+        "events_applied": (
+            totals["inserts"] + totals["updates"] + totals["revives"] + totals["deletes"]
+        ),
+        "conflicts_resolved": (
+            totals["events_seen"]
+            - sum(pb["writes"] + pb["stale"] for pb in per_bucket.values())
+        )
+        + totals["stale"],
+        "last_lsn": int(last_lsn),
+        "bytes_written": bytes_written,
+        "buckets_touched": len(touched),
+        "buckets_rewritten": 0,
+        "buckets_appended": len(touched),
+    }
+
+    table.assert_writer_lease(lease_owner)
+    new_version = table.commit(
+        new_files,
+        replaced_buckets=set(),
+        schema=evolved,
+        summary={
+            "operation": "merge-mor",
+            "epoch": epoch,
+            "metrics": metrics,
+            "per_bucket": {str(b): v for b, v in per_bucket.items()},
+            "schema_changes": changes,
+        },
+        row_counts_update=new_counts,
+        append=True,
+    )
+    table.stamp_epoch(epoch, metrics["last_lsn"], metrics, new_version)
+    mark("commit")
+    if timing:
+        spans = ", ".join(
+            f"{label}={t - prev:.2f}s" for (label, t), (_, prev) in zip(marks[1:], marks)
+        )
+        print(f"[merge_mor epoch={epoch}] {spans}")
     return MergeResult(
         version=new_version,
         epoch=epoch,

@@ -47,6 +47,7 @@ def replay_log(
     salt_partitions: int | None = None,
     epoch_prefix: str = "replay",
     lsn_range: tuple[int, int] | None = None,
+    mode: str = "cow",
 ) -> list[MergeResult]:
     """Apply an entire change log as ``num_epochs`` MERGE commits.
 
@@ -79,6 +80,7 @@ def replay_log(
                 lsn_col=lsn_col,
                 op_col=op_col,
                 salt_partitions=salt_partitions,
+                mode=mode,
             )
         )
     return results

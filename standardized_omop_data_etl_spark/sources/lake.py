@@ -29,13 +29,14 @@ commits; its destructive re-init / full replay (``:11-54``) becomes
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
 import uuid
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
 from .fs import FileSystem, LocalFileSystem
 
@@ -126,7 +127,9 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
 
 
 def diff_schema(
-    table_schema: T.StructType, batch_schema: T.StructType
+    table_schema: T.StructType,
+    batch_schema: T.StructType,
+    missing: str = "null",
 ) -> tuple[T.StructType, list[dict[str, str]]]:
     """Schema-registry diff: reconcile an incoming batch schema with the table.
 
@@ -135,10 +138,45 @@ def diff_schema(
     Policy (north_rule): added columns OK (nullable), integer/float widening
     OK (incl. inside array elements — `n_tok` int32→int64, tokens
     array<int32>→array<int64>), anything else is an error. Batch columns
-    missing from the table are appended; table columns missing from the batch
-    are fine (batch rows get NULL). Order: table columns first, additions
-    appended — id-based, order-tolerant like Iceberg.
+    missing from the table are appended. Order: table columns first,
+    additions appended — id-based, order-tolerant like Iceberg.
+
+    ``missing`` is the EXPLICIT policy for table columns absent from the
+    batch (an upstream DROP, or one half of a RENAME):
+
+    * ``"null"`` (default) — batch rows get NULL for that column; valid for
+      partial-payload changelogs that never carry every column.
+    * ``"error"`` — raise ``SchemaEvolutionError`` naming the column; when
+      the batch simultaneously ADDS a column of the identical type, the
+      error flags the pair as a probable rename (renames cannot be applied
+      automatically under name-based matching — the history under the old
+      name would silently detach from the new one; backfill explicitly).
     """
+    if missing not in ("null", "error"):
+        raise ValueError(f"unknown missing-column policy {missing!r}")
+    if missing == "error":
+        batch_names = {f.name for f in batch_schema.fields}
+        dropped = [f for f in table_schema.fields if f.name not in batch_names]
+        if dropped:
+            table_names = {f.name for f in table_schema.fields}
+            added = [f for f in batch_schema.fields if f.name not in table_names]
+            hints = []
+            for d in dropped:
+                same_type = [a.name for a in added if a.dataType == d.dataType]
+                if same_type:
+                    hints.append(
+                        f"{d.name!r} -> {same_type[0]!r} looks like a RENAME "
+                        "(same type dropped+added); renames are not auto-applied "
+                        "— the old column's history would silently detach. "
+                        "Backfill/alias explicitly upstream"
+                    )
+            raise SchemaEvolutionError(
+                "batch is missing table column(s) "
+                + ", ".join(repr(d.name) for d in dropped)
+                + " (missing='error'). "
+                + ("; ".join(hints) if hints else
+                   "Pass missing='null' to NULL-fill if the upstream drop is intended")
+            )
     changes: list[dict[str, str]] = []
     by_name = {f.name: f for f in batch_schema.fields}
     out: list[T.StructField] = []
@@ -407,6 +445,22 @@ class LakeTable:
                 out.extend(self.fs.join(self.path, f) for f in files)
         return out
 
+    def mor_buckets(self, version: int | None = None) -> set[int]:
+        """Buckets carrying merge-on-read delta files (appended by
+        ``merge_into(..., mode="mor")``): their rows require per-key LWW
+        resolution at read time until compaction rewrites them."""
+        return {int(b) for b in self.manifest(version).get("mor_buckets", [])}
+
+    def _resolve_lww(self, df: DataFrame, key: str) -> DataFrame:
+        """Per-key LWW resolution of merge-on-read rows: one row per key, the
+        max-``_lsn`` version (tombstones kept as rows — visibility filtering
+        is the caller's concern, so compaction preserves the resurrection
+        guard). Deterministic under duplicate (key, lsn) delivery via a
+        full-row hash tie-break, mirroring ``operators.lww.lww_latest``."""
+        tie = F.xxhash64(*[F.col(c) for c in df.columns])
+        w = Window.partitionBy(key).orderBy(F.col(LSN_COL).desc(), tie.desc())
+        return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
     def read(
         self,
         version: int | None = None,
@@ -422,30 +476,74 @@ class LakeTable:
         rewrite. ``columns`` prunes the read schema — parquet only scans
         those columns (used by the MERGE key-probe, which reads 2 columns of
         a table whose payload may be 100 TB).
+
+        Buckets listed in the snapshot's ``mor_buckets`` hold merge-on-read
+        delta files: their rows pass through per-key LWW resolution (the
+        window shuffle touches ONLY those buckets; clean buckets stream
+        straight from parquet with zero overhead). Resolution needs the key
+        and ``_lsn`` even when the caller prunes them away, so the scan
+        schema is widened internally and re-projected after.
         """
+        m = self.manifest(version)
+        mor = {int(b) for b in m.get("mor_buckets", [])}
+        all_buckets = sorted(int(b) for b in m["files"])
+        want_buckets = all_buckets if buckets is None else [b for b in all_buckets if b in set(buckets)]
+        clean = [b for b in want_buckets if b not in mor]
+        delta = [b for b in want_buckets if b in mor]
+
         phys = self.physical_schema(version)
+        user = self.schema(version)
         if include_hidden:
-            schema = (
-                phys
-                if columns is None
-                else T.StructType([f for f in phys.fields if f.name in columns])
-            )
-            files = self._files(version, buckets)
-            if not files:
-                return self.spark.createDataFrame([], schema)
-            return self.spark.read.schema(schema).parquet(*files)
+            want = [f.name for f in phys.fields] if columns is None else list(columns)
+            out_schema = T.StructType([f for f in phys.fields if f.name in want])
+            key = m["key_col"]
+            need = set(want) | ({key, LSN_COL} if delta else set())
+            scan_schema = T.StructType([f for f in phys.fields if f.name in need])
+
+            def scan(bs):
+                files = self._files(version, bs)
+                return self.spark.read.schema(scan_schema).parquet(*files) if files else None
+
+            parts = []
+            c = scan(clean)
+            if c is not None:
+                parts.append(c)
+            if delta:
+                d = scan(delta)
+                if d is not None:
+                    parts.append(self._resolve_lww(d, key))
+            if not parts:
+                return self.spark.createDataFrame([], out_schema)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.select(*[F.col(f.name) for f in out_schema.fields])
+
         # visible read: scan the requested columns + the tombstone marker,
         # filter tombstones (files predating tombstones read NULL = live)
-        user = self.schema(version)
         want = [f.name for f in user.fields] if columns is None else list(columns)
         out_schema = T.StructType([f for f in user.fields if f.name in want])
-        files = self._files(version, buckets)
-        if not files:
+        key = m["key_col"]
+        need = set(want) | {DELETED_COL} | ({key, LSN_COL} if delta else set())
+        read_schema = T.StructType([f for f in phys.fields if f.name in need])
+
+        def scan(bs):
+            files = self._files(version, bs)
+            return self.spark.read.schema(read_schema).parquet(*files) if files else None
+
+        parts = []
+        c = scan(clean)
+        if c is not None:
+            parts.append(c)
+        if delta:
+            d = scan(delta)
+            if d is not None:
+                parts.append(self._resolve_lww(d, key))
+        if not parts:
             return self.spark.createDataFrame([], out_schema)
-        read_schema = T.StructType(
-            [f for f in phys.fields if f.name in want or f.name == DELETED_COL]
-        )
-        df = self.spark.read.schema(read_schema).parquet(*files)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
         return df.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
             *[F.col(f.name) for f in out_schema.fields]
         )
@@ -505,19 +603,36 @@ class LakeTable:
         properties_update: dict[str, Any] | None = None,
         summary: dict[str, Any] | None = None,
         row_counts_update: dict[int, int] | None = None,
+        append: bool = False,
     ) -> int:
         """Commit a new snapshot: replace files for ``replaced_buckets`` with
         ``new_files_by_bucket``; carry all other buckets forward by reference.
         Manifest + current-pointer writes are atomic (temp file + rename), so
         a crash mid-commit leaves the previous snapshot current and only
         orphans unreferenced data files.
+
+        ``append=True`` is the merge-on-read path: ``new_files_by_bucket``
+        are ADDED to each bucket's existing file list (nothing replaced) and
+        those buckets are marked in the snapshot's ``mor_buckets`` so readers
+        apply LWW resolution. A replace of a bucket (copy-on-write merge,
+        compaction, vacuum, overwrite) clears its mor flag — the rewrite
+        materializes the resolved state.
         """
         m = self.manifest()
         new_version = m["version"] + 1
-        files = {b: f for b, f in m["files"].items() if int(b) not in replaced_buckets}
-        for b, fl in new_files_by_bucket.items():
-            if fl:
-                files[str(b)] = fl
+        mor = {int(b) for b in m.get("mor_buckets", [])}
+        mor -= {int(b) for b in replaced_buckets}
+        if append:
+            files = dict(m["files"])
+            for b, fl in new_files_by_bucket.items():
+                if fl:
+                    files[str(b)] = files.get(str(b), []) + fl
+                    mor.add(int(b))
+        else:
+            files = {b: f for b, f in m["files"].items() if int(b) not in replaced_buckets}
+            for b, fl in new_files_by_bucket.items():
+                if fl:
+                    files[str(b)] = fl
         props = dict(m["properties"])
         if properties_update:
             props.update(properties_update)
@@ -525,8 +640,13 @@ class LakeTable:
             b: c for b, c in m.get("row_counts", {}).items() if int(b) not in replaced_buckets
         }
         for b, c in (row_counts_update or {}).items():
+            # an explicit update always wins: in the append (mor) path the
+            # bucket's old entry was NOT dropped above, so a count falling to
+            # zero must overwrite (pop) it rather than be skipped.
             if c > 0:
                 row_counts[str(b)] = int(c)
+            else:
+                row_counts.pop(str(b), None)
         self._check_format(m)
         manifest = {
             "version": new_version,
@@ -537,6 +657,7 @@ class LakeTable:
             "num_buckets": m["num_buckets"],
             "files": files,
             "row_counts": row_counts,
+            "mor_buckets": sorted(mor),
             "properties": props,
             "summary": summary or {},
         }
@@ -610,19 +731,93 @@ class LakeTable:
                 "num_buckets": target["num_buckets"],
                 "files": target["files"],
                 "row_counts": target.get("row_counts", {}),
+                "mor_buckets": target.get("mor_buckets", []),
                 "properties": target["properties"],
                 "summary": {"operation": "rollback", "to": version},
             }
             self._write_manifest(manifest)
+            # un-stamp ledger epochs committed after the rollback target so
+            # their batches re-apply on resume (the legacy property map rolls
+            # back implicitly with the target's properties)
+            d = self._epoch_dir()
+            if self.fs.exists(d):
+                for name in self.fs.listdir(d):
+                    if not name.endswith(".json"):
+                        continue
+                    p = self.fs.join(d, name)
+                    if json.loads(self.fs.read_text(p)).get("version", 0) > version:
+                        self.fs.remove(p)
             return manifest["version"]
         finally:
             self.release_writer_lease(owner)
 
+    # -- epoch ledger --------------------------------------------------------
+    #
+    # Exactly-once bookkeeping lives in an append-only ledger (one tiny JSON
+    # file per applied epoch), NOT in the manifest: embedding the applied-
+    # epoch map in every snapshot makes each commit rewrite O(all epochs ever
+    # applied) bytes of metadata — a serial fraction that grows without bound
+    # over a table's lifetime (10^5 epochs at the 10^10-event target). With
+    # the ledger, commit metadata stays O(buckets) forever and the applied
+    # check is a single existence probe.
+    #
+    # Stamp ordering is commit-then-stamp (both under the writer lease): a
+    # crash in between leaves the epoch unstamped, so it re-applies on
+    # resume — harmless by construction, because re-applying an epoch whose
+    # rows already carry their LSNs classifies every row `stale` under LWW
+    # (cow) / resolves to the identical winner (mor). At-least-once stamping
+    # + idempotent apply = exactly-once table state.
+
+    def _epoch_dir(self) -> str:
+        return self._meta_path("epochs")
+
+    def _epoch_path(self, epoch: str) -> str:
+        # content-hashed filename: epoch ids are arbitrary strings (file
+        # names, lsn ranges) and must not meet filesystem naming rules
+        h = hashlib.sha1(epoch.encode("utf-8")).hexdigest()[:20]
+        return self.fs.join(self._epoch_dir(), f"e-{h}.json")
+
+    def stamp_epoch(
+        self, epoch: str, last_lsn: int, metrics: dict[str, Any], version: int
+    ) -> None:
+        """Record ``epoch`` as applied (ledger write; see ordering note
+        above). ``version`` is the snapshot the epoch committed — rollback
+        uses it to un-stamp epochs applied after the rollback target."""
+        d = self._epoch_dir()
+        if not self.fs.exists(d):
+            self.fs.makedirs(d)
+        self.fs.write_text_atomic(
+            self._epoch_path(epoch),
+            json.dumps(
+                {"epoch": epoch, "version": int(version),
+                 "last_lsn": int(last_lsn), "metrics": metrics}
+            ),
+        )
+
+    def is_epoch_applied(self, epoch: str) -> bool:
+        if self.fs.exists(self._epoch_path(epoch)):
+            return True
+        # legacy tables (pre-ledger) carried the map in manifest properties
+        return epoch in self.properties().get("applied_epochs", {})
+
     def applied_epochs(self) -> dict[str, Any]:
-        """The checkpoint/manifest store's view of applied epochs:
+        """The checkpoint store's view of applied epochs:
         ``{epoch: {last_lsn, metrics}}`` (north rule: per-partition lineage +
-        metrics persisted so replay resumes mid-stream)."""
-        return dict(self.properties().get("applied_epochs", {}))
+        metrics persisted so replay resumes mid-stream). O(epochs) metadata
+        read — an operator/debug surface, never on the ingest hot path
+        (``is_epoch_applied`` is the O(1) probe merges use)."""
+        out = dict(self.properties().get("applied_epochs", {}))  # legacy
+        d = self._epoch_dir()
+        if self.fs.exists(d):
+            for name in self.fs.listdir(d):
+                if not name.endswith(".json"):
+                    continue
+                rec = json.loads(self.fs.read_text(self.fs.join(d, name)))
+                out[rec["epoch"]] = {
+                    "last_lsn": rec.get("last_lsn", -1),
+                    "metrics": rec.get("metrics", {}),
+                }
+        return out
 
     def metrics_df(self) -> DataFrame:
         """Applied-epoch metrics as a DataFrame ``(epoch, last_lsn,

@@ -15,7 +15,7 @@ self-correcting (SURVEY.md §2.9).
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql import types as T
 
@@ -34,6 +34,48 @@ CHANGELOG_SCHEMA = T.StructType(
 )
 
 
+def stream_changelog_from(
+    events: DataFrame,
+    table: LakeTable,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+    salt_partitions: int | None = None,
+    epoch_prefix: str = "stream",
+    mode: str = "cow",
+) -> StreamingQuery:
+    """MERGE-sink for ANY streaming DataFrame of changelog events
+    ``(lsn, op, <payload>)`` — the source-agnostic seam. A Kafka topic plugs
+    in as::
+
+        raw = (spark.readStream.format("kafka")
+               .option("kafka.bootstrap.servers", ...)
+               .option("subscribe", topic).load()
+               .select(F.col("value").cast("string").alias("value")))
+        stream_changelog_from(parse_json_changelog(raw), table, ckpt)
+
+    and a socket/rate source the same way (exercised in the test suite —
+    no Kafka broker exists in this sandbox). Exactly-once is source-
+    independent: the checkpoint provides a stable ``batch_id``; the epoch
+    stamp makes re-delivered batches no-ops."""
+
+    def apply_batch(batch_df, batch_id: int) -> None:
+        merge_into(
+            table,
+            batch_df,
+            epoch=f"{epoch_prefix}:{batch_id}",
+            salt_partitions=salt_partitions,
+            source_name=epoch_prefix,
+            mode=mode,
+        )
+
+    writer = events.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_changelog(
     spark: SparkSession,
     table: LakeTable,
@@ -49,19 +91,7 @@ def stream_changelog(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(changelog_dir)
-
-    def apply_batch(batch_df, batch_id: int) -> None:
-        merge_into(
-            table,
-            batch_df,
-            epoch=f"stream:{batch_id}",
-            salt_partitions=salt_partitions,
-            source_name="stream",
-        )
-
-    writer = stream.writeStream.foreachBatch(apply_batch).option(
-        "checkpointLocation", checkpoint_dir
+    return stream_changelog_from(
+        stream, table, checkpoint_dir,
+        trigger_once=trigger_once, salt_partitions=salt_partitions,
     )
-    if trigger_once:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()

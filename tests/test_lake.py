@@ -123,3 +123,35 @@ def test_rollback_and_metrics_df(spark, tmp_path):
     mdf = tbl.metrics_df()
     row = {r["epoch"]: r for r in mdf.collect()}["bad-batch"]
     assert row["events_seen"] == 200 and row["events_applied"] > 0
+
+
+def test_diff_schema_missing_error_policy():
+    """missing='error': a table column absent from the batch raises, naming
+    the column; the default 'null' policy accepts partial payloads."""
+    t = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.IntegerType())]
+    )
+    partial = T.StructType([T.StructField("k", T.StringType())])
+    # default: NULL-fill, no changes
+    s, ch = diff_schema(t, partial)
+    assert ch == [] and [f.name for f in s.fields] == ["k", "v"]
+    with pytest.raises(SchemaEvolutionError, match="'v'.*missing='error'"):
+        diff_schema(t, partial, missing="error")
+
+
+def test_diff_schema_rename_detection():
+    """missing='error' flags a same-typed drop+add pair as a probable RENAME
+    with an explicit do-not-auto-apply message."""
+    t = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("score", T.DoubleType())]
+    )
+    renamed = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("rating", T.DoubleType())]
+    )
+    with pytest.raises(SchemaEvolutionError, match="RENAME") as ei:
+        diff_schema(t, renamed, missing="error")
+    assert "'score'" in str(ei.value) and "'rating'" in str(ei.value)
+    # under the default policy the same diff is drop(null-fill) + add
+    s, ch = diff_schema(t, renamed)
+    assert [c["action"] for c in ch] == ["add_column"]
+    assert [f.name for f in s.fields] == ["k", "score", "rating"]

@@ -1,0 +1,185 @@
+"""Merge-on-read (``merge_into(..., mode="mor")``) correctness.
+
+The mor path must be observationally identical to copy-on-write — same final
+read state, same per-epoch metrics, same idempotency and tombstone
+semantics — while writing O(batch) instead of O(changed buckets) per epoch.
+Compaction/vacuum materialize the resolved state and clear the mor flags.
+"""
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from standardized_omop_data_etl_spark.plans.maintenance import (
+    compact_buckets,
+    vacuum_tombstones,
+)
+from standardized_omop_data_etl_spark.plans.merge import merge_into
+from standardized_omop_data_etl_spark.plans.replay import replay_log
+from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+from standardized_omop_data_etl_spark.sources.oracle import (
+    canonicalize,
+    expected_final_state,
+)
+
+N_DOCS = 300
+N_EVENTS = 1200
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    base = base_sequences(spark, N_DOCS, seed=77, max_len=64)
+    log = change_log(spark, N_EVENTS, N_DOCS, seed=77, max_len=64)
+    return base, log, base.toPandas(), log.toPandas()
+
+
+def make_table(spark, tmp_path, base, name, num_buckets=8):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / name), schema=base.schema, key_col="doc_id",
+        num_buckets=num_buckets, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    return tbl
+
+
+def state(tbl):
+    return canonicalize(tbl.read().toPandas())
+
+
+def assert_same_state(got_pdf, exp_pdf):
+    assert list(got_pdf.columns) == list(exp_pdf.columns)
+    assert len(got_pdf) == len(exp_pdf)
+    for col in exp_pdf.columns:
+        mism = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(got_pdf[col], exp_pdf[col]))
+            if a != b and not (a is None and b is None)
+        ]
+        assert not mism, f"column {col}: first mismatches {mism[:3]}"
+
+
+def test_mor_matches_cow_and_oracle(spark, tmp_path, fixtures):
+    base, log, base_pdf, log_pdf = fixtures
+    cow = make_table(spark, tmp_path, base, "cow")
+    mor = make_table(spark, tmp_path, base, "mor")
+    r_cow = replay_log(cow, log, num_epochs=4)
+    r_mor = replay_log(mor, log, num_epochs=4, mode="mor")
+
+    # metrics bit-compatible per epoch (bytes differ by construction)
+    skip = {"bytes_written", "buckets_rewritten", "buckets_appended", "buckets_touched"}
+    for rc, rm in zip(r_cow, r_mor):
+        mc = {k: v for k, v in rc.metrics.items() if k not in skip}
+        mm = {k: v for k, v in rm.metrics.items() if k not in skip}
+        assert mc == mm, f"epoch {rc.epoch}: {mc} != {mm}"
+        assert rm.metrics["buckets_rewritten"] == 0
+
+    # mor buckets flagged, nothing rewritten: delta files appended
+    assert mor.mor_buckets(), "expected merge-on-read buckets after mor merges"
+
+    got_mor, got_cow = state(mor), state(cow)
+    assert_same_state(got_mor, got_cow)
+    assert_same_state(got_mor, canonicalize(expected_final_state(base_pdf, log_pdf)))
+
+    # visible row_counts agree with actual visible rows, both paths
+    for tbl in (cow, mor):
+        assert sum(tbl.manifest().get("row_counts", {}).values()) == tbl.read().count()
+
+    # compaction materializes: flags cleared, read state unchanged
+    v = compact_buckets(mor, max_files_per_bucket=1)
+    assert v > 0 and not mor.mor_buckets()
+    assert_same_state(state(mor), got_cow)
+
+    # vacuum below the max lsn drops resolved tombstones, state unchanged
+    vacuum_tombstones(mor, watermark_lsn=int(log_pdf["lsn"].max()) + 1)
+    assert_same_state(state(mor), got_cow)
+
+
+def test_mor_epoch_reapply_is_noop(spark, tmp_path, fixtures):
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "idem")
+    r1 = merge_into(tbl, log, epoch="e0", mode="mor")
+    before = state(tbl)
+    r2 = merge_into(tbl, log, epoch="e0", mode="mor")
+    assert r2.skipped and not r1.skipped
+    assert tbl.current_version() == r1.version
+    assert_same_state(state(tbl), before)
+
+
+def test_mor_mixed_with_cow_epochs(spark, tmp_path, fixtures):
+    """Alternating cow/mor epochs on one table resolves identically to pure
+    cow — a cow epoch's key-probe must read THROUGH earlier mor deltas."""
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "mixed")
+    ref = make_table(spark, tmp_path, base, "mixedref")
+    from standardized_omop_data_etl_spark.plans.replay import epoch_bounds
+
+    lo, hi = int(log_pdf["lsn"].min()), int(log_pdf["lsn"].max())
+    for i, (a, b) in enumerate(epoch_bounds(lo, hi, 4)):
+        batch = log.filter((F.col("lsn") >= a) & (F.col("lsn") < b))
+        merge_into(tbl, batch, epoch=f"m:{a}", mode="mor" if i % 2 else "cow")
+        merge_into(ref, batch, epoch=f"c:{a}", mode="cow")
+    assert_same_state(state(tbl), state(ref))
+    assert_same_state(state(tbl), canonicalize(expected_final_state(base_pdf, log_pdf)))
+
+
+def test_mor_out_of_order_no_resurrection(spark, tmp_path):
+    sch = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    df0 = spark.createDataFrame([("d", [0])], "doc_id string, tokens array<int>")
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "oo"), schema=df0.schema, key_col="doc_id", num_buckets=2
+    )
+    tbl.overwrite_full(df0)
+
+    def ev(lsn, op, toks):
+        return (lsn, op, "d", toks)
+
+    merge_into(tbl, spark.createDataFrame([ev(100, "delete", None)], sch), epoch="b2", mode="mor")
+    assert tbl.read().count() == 0
+    # late update below the tombstone's lsn must NOT resurrect
+    r = merge_into(tbl, spark.createDataFrame([ev(50, "update", [1, 2])], sch), epoch="b1", mode="mor")
+    assert tbl.read().count() == 0 and r.metrics["stale"] == 1
+    # newer update revives
+    r = merge_into(tbl, spark.createDataFrame([ev(150, "update", [7, 8])], sch), epoch="b3", mode="mor")
+    assert r.metrics["revives"] == 1
+    rows = tbl.read().collect()
+    assert len(rows) == 1 and rows[0]["tokens"] == [7, 8]
+
+
+def test_mor_schema_evolution_added_column(spark, tmp_path, fixtures):
+    from standardized_omop_data_etl_spark.sources.generators import with_added_column
+
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "evo")
+    evolved = with_added_column(log, from_lsn=N_EVENTS // 2, seed=77)
+    results = replay_log(tbl, evolved, num_epochs=3, mode="mor")
+    assert any(r.schema_changes for r in results)
+    cols = [f.name for f in tbl.schema().fields]
+    assert "lang" in cols
+    # pre-evolution rows surface NULL lang through the mor resolve
+    got = state(tbl)
+    exp = canonicalize(expected_final_state(base_pdf, evolved.toPandas()))
+    assert_same_state(got, exp)
+
+
+def test_mor_row_count_zero_overwrites_stale_entry(spark, tmp_path):
+    df0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "z"), schema=df0.schema, key_col="k", num_buckets=1
+    )
+    tbl.overwrite_full(df0)
+    sch = "lsn long, op string, k string, v int"
+    merge_into(
+        tbl,
+        spark.createDataFrame([(1, "delete", "a", None), (2, "delete", "b", None)], sch),
+        epoch="d",
+        mode="mor",
+    )
+    assert tbl.read().count() == 0
+    assert sum(tbl.manifest().get("row_counts", {}).values()) == 0

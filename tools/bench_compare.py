@@ -21,9 +21,36 @@ def load(path: str) -> dict:
     return d.get("parsed", d)
 
 
+def noise_warnings(tag: str, d: dict) -> list[str]:
+    """Flag a sample recorded on a loud host (the r2 driver-bench failure
+    mode): start/end 1-min loadavg well above the cores the bench itself
+    uses, or rep-to-rep spread far beyond the reported min."""
+    warns = []
+    p = d.get("provenance")
+    if not p:
+        return [f"{tag}: no provenance block (pre-r3 bench) — treat with suspicion"]
+    cpus = p.get("cpus") or 1
+    for which in ("loadavg_start", "loadavg_end"):
+        la = p.get(which)
+        if la and la[0] > cpus * 1.5:
+            warns.append(
+                f"{tag}: {which} {la[0]:.1f} >> {cpus} bench cores — host was loud"
+            )
+    wild = [
+        (n, s) for n, s in (p.get("samples") or {}).items()
+        if len(s) >= 2 and max(s) > 3 * min(s) and max(s) - min(s) > 0.5
+    ]
+    if wild:
+        names = ", ".join(f"{n} {s}" for n, s in wild[:5])
+        warns.append(f"{tag}: >3x rep-to-rep spread on {len(wild)} queries ({names})")
+    return warns
+
+
 def main() -> int:
     old = load(sys.argv[1])
     new = load(sys.argv[2])
+    for w in noise_warnings("old", old) + noise_warnings("new", new):
+        print(f"WARNING {w}")
     oq, nq = old.get("queries", {}), new.get("queries", {})
     names = sorted(set(oq) | set(nq))
     rows, regressions = [], []
