@@ -95,6 +95,27 @@ def main() -> None:
         replay_sec = dt if replay_sec is None else min(replay_sec, dt)
         samples.setdefault("cdc_replay", []).append(round(dt, 3))
     timings["cdc_replay"] = round(replay_sec, 3)
+
+    # merge-on-read replay: same log, append-only delta path (O(batch) write
+    # cost per epoch) + one materializing compaction at the end, so the
+    # number covers the full mor cost story, not just the cheap appends.
+    from standardized_omop_data_etl_spark.plans.maintenance import compact_buckets
+
+    mor_sec = None
+    for _rep in range(2):
+        shutil.rmtree(workdir, ignore_errors=True)
+        tbl = LakeTable.create(
+            spark, workdir, schema=base.schema, key_col="doc_id", num_buckets=32,
+            overwrite=True,
+        )
+        tbl.overwrite_full(base)
+        t0 = time.time()
+        replay_log(tbl, log, num_epochs=2, mode="mor")
+        compact_buckets(tbl, max_files_per_bucket=1)
+        dt = time.time() - t0
+        mor_sec = dt if mor_sec is None else min(mor_sec, dt)
+        samples.setdefault("cdc_replay_mor", []).append(round(dt, 3))
+    timings["cdc_replay_mor"] = round(mor_sec, 3)
     log.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
 
