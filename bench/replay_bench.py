@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("--max-len", type=int, default=128)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0, help="salt partitions for hot keys (0=off)")
+    ap.add_argument("--mode", choices=("cow", "mor"), default="cow",
+                    help="merge apply mode (mor = append-only deltas + read-time LWW)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--workdir", default="/tmp/replay_bench")
     ap.add_argument("--keep-input", action="store_true",
@@ -81,7 +83,7 @@ def main() -> None:
     t1 = time.time()
     results = replay_log(tbl, log, num_epochs=args.epochs,
                          salt_partitions=args.salt or None,
-                         lsn_range=(0, args.events - 1))
+                         lsn_range=(0, args.events - 1), mode=args.mode)
     wall = time.time() - t1
     applied = sum(r.metrics.get("events_seen", 0) for r in results)
     rows = tbl.read().count()
@@ -98,6 +100,7 @@ def main() -> None:
         "final_rows": rows,
         "buckets": args.buckets,
         "salt": args.salt,
+        "mode": args.mode,
     }))
     shutil.rmtree(table_path, ignore_errors=True)
 

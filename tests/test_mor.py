@@ -183,3 +183,15 @@ def test_mor_row_count_zero_overwrites_stale_entry(spark, tmp_path):
     )
     assert tbl.read().count() == 0
     assert sum(tbl.manifest().get("row_counts", {}).values()) == 0
+
+
+def test_mor_salted_matches_plain(spark, tmp_path, fixtures):
+    """Hot-key salting composes with the mor path: the salted two-phase LWW
+    feeds the delta write through an explicit bucket re-alignment."""
+    base, log, base_pdf, log_pdf = fixtures
+    plain = make_table(spark, tmp_path, base, "msalt_plain")
+    salted = make_table(spark, tmp_path, base, "msalt_salted")
+    replay_log(plain, log, num_epochs=2, mode="mor")
+    replay_log(salted, log, num_epochs=2, mode="mor", salt_partitions=4)
+    assert_same_state(state(salted), state(plain))
+    assert_same_state(state(salted), canonicalize(expected_final_state(base_pdf, log_pdf)))
