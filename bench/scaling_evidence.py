@@ -32,8 +32,20 @@ def make_zip() -> None:
     )
 
 
+def wait_quiet(load_max: float, max_wait_sec: float = 900.0) -> float:
+    """Block until the 1-min loadavg drops below ``load_max`` (or the wait
+    budget runs out — legs record their actual load either way, so a leg
+    launched loud is disclosed, not hidden)."""
+    deadline = time.time() + max_wait_sec
+    while True:
+        load = os.getloadavg()[0]
+        if load < load_max or time.time() >= deadline:
+            return load
+        time.sleep(15)
+
+
 def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
-             keep: bool) -> dict:
+             keep: bool, mode: str) -> dict:
     cmd = []
     if os.environ.get("SCALE_TASKSET") == "1":
         # Pin the WHOLE JVM (task threads + GC + IO + codegen) to exactly
@@ -52,11 +64,11 @@ def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
         "--py-files", ZIP,
         os.path.join(REPO, "bench", "replay_bench.py"),
         "--events", str(events), "--docs", str(docs), "--epochs", str(epochs),
-        "--buckets", "64", "--workdir", workdir,
+        "--buckets", "64", "--workdir", workdir, "--mode", mode,
     ]
     if keep:
         cmd.append("--keep-input")
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=1800)
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(
@@ -72,20 +84,34 @@ def main() -> None:
     epochs = int(os.environ.get("SCALE_EPOCHS", "1"))
     reps = int(os.environ.get("SCALE_REPS", "4"))
     n = int(os.environ.get("SCALE_N", "8"))  # the N of "N and 4N cores"
+    mode = os.environ.get("SCALE_MODE", "cow")
+    load_max = float(os.environ.get("SCALE_LOAD_MAX", "2.5"))
     workdir = os.environ.get("SCALE_WORKDIR", "/dev/shm/rb_evidence")
     out_name = os.environ.get("SCALE_OUT", f"scaling_evidence_{n}_{4*n}.json")
+    legs_log = os.environ.get("SCALE_LEGS_LOG", "")
     pair = (n, 4 * n)
     make_zip()
     results: dict[int, list[dict]] = {c: [] for c in pair}
+    legs: list[dict] = []
     first = True
     for rep in range(reps):
         for cores in pair:
             subprocess.run(["sync"])
-            r = run_once(cores, events, docs, epochs, workdir, keep=not first)
+            load = wait_quiet(load_max)
+            r = run_once(cores, events, docs, epochs, workdir, keep=not first,
+                         mode=mode)
             first = False
             results[cores].append(r)
-            print(f"rep{rep} local[{cores}]: wall={r['wall_sec']} eps={r['events_per_sec']}",
-                  flush=True)
+            leg = {"rep": rep, "cores": cores,
+                   "pinned": os.environ.get("SCALE_TASKSET") == "1",
+                   "load_start": round(load, 2), "load_end": round(os.getloadavg()[0], 2),
+                   "r": r}
+            legs.append(leg)
+            if legs_log:
+                with open(legs_log, "a") as f:
+                    f.write(json.dumps(leg) + "\n")
+            print(f"rep{rep} local[{cores}]: wall={r['wall_sec']} eps={r['events_per_sec']}"
+                  f" load_start={load:.2f}", flush=True)
     summary = {}
     for cores, rs in results.items():
         eps = [r["events_per_sec"] for r in rs]
@@ -103,7 +129,10 @@ def main() -> None:
     )
     summary["config"] = {
         "events": events, "docs": docs, "epochs": epochs, "reps": reps, "cores": pair,
+        "mode": mode, "pinned": os.environ.get("SCALE_TASKSET") == "1",
+        "load_gate": load_max,
     }
+    summary["legs"] = legs
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", out_name), "w") as f:

@@ -399,25 +399,37 @@ def _merge_into_locked(
             "buckets_rewritten": len(changed),
         }
 
-        # ---- 5. Copy-on-write rewrite of changed buckets only: broadcast
-        # key-set filters keep both inputs bucket-clustered end to end.
+        # ---- 5. Copy-on-write rewrite of changed buckets only: key-set
+        # filters keep both inputs bucket-clustered end to end. The per-action
+        # totals are already in hand, so each filter picks its CHEAPEST form:
+        # an empty complement means no join at all (the common replay case —
+        # stale==0 ⇒ every winner applies, so srcr passes through untouched),
+        # otherwise broadcast the smaller of (set, complement) when it fits,
+        # and only fall back to a shuffled join when neither side is
+        # broadcast-sized. Building a broadcast hash relation is a fixed
+        # per-epoch driver cost, so shrinking it raises N→4N scaling
+        # efficiency, not just wall-clock.
+        n_stale = totals["stale"]
         version = table.current_version() + 1
         new_files: dict[int, list[str]] = {}
         bytes_written = 0
         if changed:
-            broadcastable = max(n_applied, n_replaced) <= BROADCAST_KEYS_MAX
+            shuffled = False  # any shuffled key filter breaks bucket clustering
 
-            def keyset(df: DataFrame) -> DataFrame:
-                return F.broadcast(df) if broadcastable else df.hint("shuffle_hash")
+            def keyed(action_filter, count: int, base: DataFrame, how: str) -> DataFrame:
+                nonlocal shuffled
+                ks = resolved.filter(action_filter).select(key)
+                if count <= BROADCAST_KEYS_MAX:
+                    return base.join(F.broadcast(ks), on=key, how=how)
+                shuffled = True
+                return base.join(ks.hint("shuffle_hash"), on=key, how=how)
 
-            applied_keys = keyset(
-                resolved.filter(F.col("_action") != "stale").select(key)
-            )
-            replaced_keys = keyset(
-                resolved.filter(
-                    F.col("_action").isin("update", "delete", "revive", "redelete")
-                ).select(key)
-            )
+            if n_stale == 0:
+                applied_rows = srcr  # nothing to drop: every LWW winner applies
+            elif n_stale < n_applied or n_applied > BROADCAST_KEYS_MAX:
+                applied_rows = keyed(F.col("_action") == "stale", n_stale, srcr, "left_anti")
+            else:
+                applied_rows = keyed(F.col("_action") != "stale", n_applied, srcr, "left_semi")
             src_lineage = F.concat_ws(
                 " | ",
                 F.lit(source_name),
@@ -425,7 +437,7 @@ def _merge_into_locked(
                 F.concat(F.lit("op="), F.col(op_col)),
                 F.concat(F.lit("lsn="), F.col(lsn_col).cast("string")),
             )
-            new_rows = srcr.join(applied_keys, on=key, how="left_semi").select(
+            new_rows = applied_rows.select(
                 *conform_exprs(srcr, evolved),
                 F.col(lsn_col).cast("long").alias(LSN_COL),
                 src_lineage.alias(LINEAGE_COL),
@@ -433,7 +445,16 @@ def _merge_into_locked(
                 F.col("_bucket"),
             )
             tgt = table.read(buckets=changed, include_hidden=True)
-            surviving = tgt.join(replaced_keys, on=key, how="left_anti").select(
+            if n_replaced == 0:
+                surviving_rows = tgt  # pure-insert epoch: no target row displaced
+            else:
+                surviving_rows = keyed(
+                    F.col("_action").isin("update", "delete", "revive", "redelete"),
+                    n_replaced,
+                    tgt,
+                    "left_anti",
+                )
+            surviving = surviving_rows.select(
                 *[F.col(f.name) for f in evolved.fields],
                 F.col(LSN_COL),
                 F.col(LINEAGE_COL),
@@ -441,9 +462,10 @@ def _merge_into_locked(
                 bucket_expr(key, num_buckets).alias("_bucket"),
             )
             out = surviving.unionByName(new_rows)
-            # broadcast path: both sides stream from per-bucket files, so the
-            # union is already clustered; shuffled path must re-align once.
-            _, out_dir = table.write_bucket_files(out, version, cluster=not broadcastable)
+            # broadcast/no-join paths: both sides stream from per-bucket
+            # files, so the union is already clustered; a shuffled key
+            # filter must re-align once.
+            _, out_dir = table.write_bucket_files(out, version, cluster=shuffled)
             new_files = table.list_bucket_files(out_dir)
             for b, fl in new_files.items():
                 nbytes = sum(table.fs.getsize(table.fs.join(table.path, f)) for f in fl)

@@ -319,3 +319,57 @@ def test_dead_letter_rows_never_merge(spark, tmp_path, fixtures):
     got = tbl.read().toPandas()
     assert "doc-poison" not in set(got["doc_id"])
     assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_forced_shuffle_keysets_match_oracle(spark, tmp_path, fixtures, monkeypatch):
+    """Every key filter in the cow write falls back to the shuffled join
+    (BROADCAST_KEYS_MAX=0) and the result is still bit-exact."""
+    import standardized_omop_data_etl_spark.plans.merge as M
+
+    base, log, base_pdf, log_pdf = fixtures
+    monkeypatch.setattr(M, "BROADCAST_KEYS_MAX", 0)
+    tbl = make_table(spark, tmp_path, base, "tshuf")
+    replay_log(tbl, log, num_epochs=3)
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_stale_dominant_epoch_anti_path(spark, tmp_path, fixtures):
+    """Re-sending an already-applied log under a NEW epoch name makes every
+    winner stale — the write phase takes the stale-complement path and the
+    table state must not change (and metrics must say all-stale)."""
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "tstale")
+    merge_into(tbl, log, epoch="e0")
+    expected = canonicalize(tbl.read().toPandas())
+    r = merge_into(tbl, log, epoch="e1")  # same LSNs, new epoch: all stale
+    assert r.metrics["events_applied"] == 0
+    assert r.metrics["stale"] > 0
+    import pandas as pd
+    pd.testing.assert_frame_equal(canonicalize(tbl.read().toPandas()), expected)
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+
+def test_pure_insert_epoch_no_survivor_join(spark, tmp_path, fixtures):
+    """An insert-only epoch (all-new keys) exercises the n_replaced==0
+    branch: target rows stream through with no key filter."""
+    import pyspark.sql.functions as F
+
+    base, _, base_pdf, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "tins")
+    fresh = (
+        base.select(
+            F.concat(F.lit("new-"), F.col("doc_id")).alias("doc_id"),
+            "tokens", "n_tok", "source",
+        )
+        .withColumn("lsn", F.monotonically_increasing_id() + 10_000_000)
+        .withColumn("op", F.lit("insert"))
+    )
+    r = merge_into(tbl, fresh, epoch="ins0")
+    assert r.metrics["inserts"] == N_DOCS
+    assert r.metrics["updates"] == r.metrics["deletes"] == r.metrics["stale"] == 0
+    got = tbl.read()
+    assert got.count() == 2 * N_DOCS
+    # every original row survived byte-identical
+    orig = canonicalize(got.filter(~F.col("doc_id").startswith("new-")).toPandas())
+    import pandas as pd
+    pd.testing.assert_frame_equal(orig, canonicalize(base_pdf))
