@@ -37,6 +37,8 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=0, help="salt partitions for hot keys (0=off)")
     ap.add_argument("--mode", choices=("cow", "mor"), default="cow",
                     help="merge apply mode (mor = append-only deltas + read-time LWW)")
+    ap.add_argument("--lww", choices=("window", "narrow"), default="window",
+                    help="LWW kernel (narrow = map-side max + winners-only payload shuffle)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--workdir", default="/tmp/replay_bench")
     ap.add_argument("--keep-input", action="store_true",
@@ -83,7 +85,8 @@ def main() -> None:
     t1 = time.time()
     results = replay_log(tbl, log, num_epochs=args.epochs,
                          salt_partitions=args.salt or None,
-                         lsn_range=(0, args.events - 1), mode=args.mode)
+                         lsn_range=(0, args.events - 1), mode=args.mode,
+                         lww_strategy=args.lww)
     wall = time.time() - t1
     applied = sum(r.metrics.get("events_seen", 0) for r in results)
     rows = tbl.read().count()
@@ -101,6 +104,7 @@ def main() -> None:
         "buckets": args.buckets,
         "salt": args.salt,
         "mode": args.mode,
+        "lww": args.lww,
     }))
     shutil.rmtree(table_path, ignore_errors=True)
 

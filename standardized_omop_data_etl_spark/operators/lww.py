@@ -111,6 +111,65 @@ def lww_latest(
     return window_pick(src, keys, order_key, tie.desc(), count_col)
 
 
+def lww_latest_narrow(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    order_col: str,
+    descending: bool = True,
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Two-phase narrow-max LWW: bit-identical winners to ``lww_latest``,
+    but the wide shuffle moves only the WINNERS' payloads, not every event.
+
+    1. ``groupBy(key).agg(max(order), count)`` over the key/order columns
+       only — map-side combinable, so a hot key collapses to one partial per
+       input partition before anything moves (no salting needed).
+    2. Join the (key, winning order) pairs back to the batch and keep rows
+       whose order equals the winner's (null-safe, so an all-NULL-order key
+       degrades to the same full-tie pick as the window path). The join side
+       is key-sized; AQE broadcast-sizes it at runtime, in which case the
+       batch streams with NO shuffle.
+    3. The existing deterministic tie-break (xxhash64 over the full payload,
+       identical column order to ``lww_latest``) picks one row per key among
+       the few order-tied candidates; its window exchange doubles as the
+       bucket alignment (``num_partitions = num_buckets``).
+
+    Shuffle bytes: window path moves every event's payload once; this moves
+    (a) two narrow columns' partial aggregates and (b) the candidates'
+    payloads (≈ one row per key). At K events/key that is a ~K× reduction of
+    the wide exchange — the difference between shuffling a 100 TB epoch and
+    shuffling its ~1/K winner set on a real cluster. The price is a second
+    scan of the batch (phases 1 and 2 each read it), which parquet/cache
+    absorbs; prefer the window path when events/key ≈ 1 or the batch scan
+    dominates.
+
+    Pathological edge (documented, not handled): a hot key whose max order
+    value itself is massively duplicated sends all its tied candidates to
+    one phase-3 reducer. Replay LSNs are unique per key, so this arises only
+    with degenerate order columns — use the salted window path there.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload_cols = list(df.columns)
+    agg_ord = F.max(order_col) if descending else F.min(order_col)
+    winners = df.groupBy(*[F.col(k) for k in keys]).agg(
+        agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
+    )
+    cand = df.join(winners, on=keys, how="inner").filter(
+        F.col(order_col).eqNullSafe(F.col("_w_ord"))
+    )
+    if num_partitions:
+        cand = cand.repartition(num_partitions, *[F.col(k) for k in keys])
+    tie = F.xxhash64(*[F.col(c) for c in payload_cols])
+    w = Window.partitionBy(*keys).orderBy(tie.desc())
+    out = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    if count_col:
+        out = out.withColumn(count_col, F.col("_w_cnt"))
+    return out.drop("_rn", "_w_ord", "_w_cnt").select(
+        *payload_cols, *([count_col] if count_col else [])
+    )
+
+
 def priority_dedup(
     df: DataFrame,
     key_cols: list[str] | str,

@@ -73,7 +73,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.storagelevel import StorageLevel
 
-from ..operators.lww import lww_latest
+from ..operators.lww import lww_latest, lww_latest_narrow
 from ..sources.lake import (
     DELETED_COL,
     LINEAGE_COL,
@@ -150,6 +150,7 @@ def merge_into(
     source_name: str = "changelog",
     mode: str = "cow",
     missing: str = "null",
+    lww_strategy: str = "window",
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
     enforced via the table's writer lease (a concurrent merge raises
@@ -177,6 +178,10 @@ def merge_into(
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
+    if lww_strategy not in ("window", "narrow"):
+        raise ValueError(
+            f"unknown lww_strategy {lww_strategy!r} (expected 'window' or 'narrow')"
+        )
     epoch = str(epoch)
     if _is_applied(table, epoch):
         return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
@@ -191,10 +196,45 @@ def merge_into(
         fn = _merge_mor_locked if mode == "mor" else _merge_into_locked
         return fn(
             table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
-            lease_owner, missing,
+            lease_owner, missing, lww_strategy,
         )
     finally:
         table.release_writer_lease(lease_owner)
+
+
+def _lww_winners(
+    batch: DataFrame,
+    key: str,
+    lsn_col: str,
+    salt_partitions: int | None,
+    num_buckets: int,
+    strategy: str,
+) -> DataFrame:
+    """Per-key LWW winners, bucket-aligned (one exchange pinned to
+    ``num_buckets``), with the collapsed-event count in ``_n_events``.
+
+    ``strategy='window'`` shuffles every event payload once (row_number over
+    a key-partitioned window); ``strategy='narrow'`` reduces (key, lsn) map-
+    side first and moves only the winners' payloads — same winners bit-exact
+    (see ``lww_latest_narrow``), ~events-per-key× fewer wide-shuffle bytes,
+    hot keys combine before the exchange so salting is unnecessary."""
+    if strategy == "narrow":
+        return lww_latest_narrow(
+            batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets
+        )
+    src = lww_latest(
+        batch,
+        key,
+        lsn_col,
+        salt_partitions=salt_partitions,
+        count_col="_n_events",
+        num_partitions=None if salt_partitions else num_buckets,
+    )
+    if salt_partitions:
+        # the salted two-phase reduce leaves an arbitrary partitioning;
+        # re-align once so the bucketed write stays ~1 file per bucket
+        src = src.repartition(num_buckets, F.col(key))
+    return src
 
 
 def _merge_into_locked(
@@ -207,6 +247,7 @@ def _merge_into_locked(
     source_name: str,
     lease_owner: str,
     missing: str = "null",
+    lww_strategy: str = "window",
 ) -> MergeResult:
     timing = os.environ.get("SODES_MERGE_TIMING") == "1"
     marks: list[tuple[str, float]] = [("start", time.time())]
@@ -241,18 +282,7 @@ def _merge_into_locked(
     batch = batch.filter(
         F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
     )
-    src = lww_latest(
-        batch,
-        key,
-        lsn_col,
-        salt_partitions=salt_partitions,
-        count_col="_n_events",
-        num_partitions=None if salt_partitions else num_buckets,
-    )
-    if salt_partitions:
-        # the salted two-phase reduce leaves an arbitrary partitioning;
-        # re-align once so the scratch write stays ~1 file per bucket
-        src = src.repartition(num_buckets, F.col(key))
+    src = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
     src = src.withColumn("_bucket", bucket_expr(key, num_buckets))
     scratch_dir = table.fs.join(
         table.path, DATA_DIR, f"scratch-{re.sub(r'[^A-Za-z0-9_.-]', '_', epoch)}-{uuid.uuid4().hex[:8]}"
@@ -518,6 +548,7 @@ def _merge_mor_locked(
     source_name: str,
     lease_owner: str,
     missing: str = "null",
+    lww_strategy: str = "window",
 ) -> MergeResult:
     """Merge-on-read apply: ONE payload write per epoch.
 
@@ -570,16 +601,7 @@ def _merge_mor_locked(
     batch = batch.filter(
         F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
     )
-    src = lww_latest(
-        batch,
-        key,
-        lsn_col,
-        salt_partitions=salt_partitions,
-        count_col="_n_events",
-        num_partitions=None if salt_partitions else num_buckets,
-    )
-    if salt_partitions:
-        src = src.repartition(num_buckets, F.col(key))
+    src = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
     src_lineage = F.concat_ws(
         " | ",
         F.lit(source_name),

@@ -48,6 +48,7 @@ def replay_log(
     epoch_prefix: str = "replay",
     lsn_range: tuple[int, int] | None = None,
     mode: str = "cow",
+    lww_strategy: str = "window",
 ) -> list[MergeResult]:
     """Apply an entire change log as ``num_epochs`` MERGE commits.
 
@@ -81,6 +82,7 @@ def replay_log(
                 op_col=op_col,
                 salt_partitions=salt_partitions,
                 mode=mode,
+                lww_strategy=lww_strategy,
             )
         )
     return results

@@ -373,3 +373,34 @@ def test_pure_insert_epoch_no_survivor_join(spark, tmp_path, fixtures):
     orig = canonicalize(got.filter(~F.col("doc_id").startswith("new-")).toPandas())
     import pandas as pd
     pd.testing.assert_frame_equal(orig, canonicalize(base_pdf))
+
+
+def test_lww_narrow_equals_window_operator(spark, fixtures):
+    """Operator-level: bit-identical winners on a tie-heavy input (duplicate
+    LSNs across distinct payloads force the xxhash tie-break)."""
+    from standardized_omop_data_etl_spark.operators.lww import (
+        lww_latest,
+        lww_latest_narrow,
+    )
+
+    _, log, _, _ = fixtures
+    tied = log.unionByName(with_duplicates(log, frac=0.5, seed=9))
+    a = lww_latest(tied, "doc_id", "lsn", count_col="_n", num_partitions=8).toPandas()
+    b = lww_latest_narrow(tied, "doc_id", "lsn", count_col="_n", num_partitions=8).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)[sorted(a.columns)]
+    b = b.sort_values("doc_id").reset_index(drop=True)[sorted(b.columns)]
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_lww_narrow_replay_matches_oracle(spark, tmp_path, fixtures):
+    """End-to-end: narrow-strategy replay produces the same bit-exact final
+    state as the window strategy and the pandas oracle, in both modes."""
+    base, log, base_pdf, log_pdf = fixtures
+    expected = expected_final_state(base_pdf, log_pdf)
+    for mode in ("cow", "mor"):
+        tbl = make_table(spark, tmp_path, base, f"tnarrow_{mode}")
+        results = replay_log(tbl, log, num_epochs=3, mode=mode, lww_strategy="narrow")
+        assert_state_equals(tbl, expected)
+        m = results[-1].metrics
+        assert sum(r.metrics["events_seen"] for r in results) == N_EVENTS
+        assert m["conflicts_resolved"] >= 0
