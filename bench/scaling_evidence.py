@@ -21,7 +21,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-ZIP = "/tmp/sodes_bench.zip"
+ZIP = f"/tmp/sodes_bench_{os.getpid()}.zip"  # per-run: a concurrent rebuild of a shared zip mid-fetch kills a leg
 
 
 def make_zip() -> None:
