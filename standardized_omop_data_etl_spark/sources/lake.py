@@ -455,8 +455,13 @@ class LakeTable:
         """Per-key LWW resolution of merge-on-read rows: one row per key, the
         max-``_lsn`` version (tombstones kept as rows — visibility filtering
         is the caller's concern, so compaction preserves the resurrection
-        guard). Deterministic under duplicate (key, lsn) delivery via a
-        full-row hash tie-break, mirroring ``operators.lww.lww_latest``."""
+        guard). A hash tie-break over the scanned columns mirrors
+        ``operators.lww.lww_latest``. Note the tie-break's scope: (key, lsn)
+        is unique across delta files by construction (epochs are exactly-once
+        and each epoch's winners are LWW-unique per key), so ties only arise
+        from byte-identical duplicate rows, where any pick is the same row. A
+        hypothetical upstream that emitted two DIFFERENT payloads under one
+        (key, lsn) would resolve per-projection until compaction pins one."""
         tie = F.xxhash64(*[F.col(c) for c in df.columns])
         w = Window.partitionBy(key).orderBy(F.col(LSN_COL).desc(), tie.desc())
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
