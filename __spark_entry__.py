@@ -569,6 +569,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", TX.token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe")
         )
 
+    def q_cdc_lww_narrow(spark, sf):
+        # narrow-max LWW kernel (operators/lww.py:lww_latest_narrow): winners
+        # computed via map-side (key, max lsn) reduction + candidate join —
+        # must match the same SQL LWW oracle as the window kernel bit-exact.
+        from standardized_omop_data_etl_spark.operators.lww import lww_latest_narrow
+
+        ev = _t(spark, sf, "events")
+        latest = lww_latest_narrow(ev, "user_id", "event_id")
+        return latest.filter(F.col("event_type") != "error").select(
+            "user_id",
+            F.col("event_id").alias("last_lsn"),
+            "event_type",
+            "value",
+        )
+
     def q_cdc_mor_state(spark, sf):
         # merge-on-read MERGE path end to end: the events stream applied as
         # two out-of-order mor epochs (append-only deltas + read-time LWW),
@@ -602,6 +617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "cdc_lww_state": q_cdc_lww_state,
+        "cdc_lww_narrow": q_cdc_lww_narrow,
         "cdc_mor_state": q_cdc_mor_state,
         "priority_dedup": q_priority_dedup,
         "minmax_periods": q_minmax_periods,
@@ -659,6 +675,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_state": """
+            WITH w AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_id AS last_lsn, event_type, value
+            FROM w WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "cdc_lww_narrow": """
             WITH w AS (
               SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
               FROM events)
