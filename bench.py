@@ -90,7 +90,9 @@ def main() -> None:
         )
         tbl.overwrite_full(base)
         t0 = time.time()
-        replay_log(tbl, log, num_epochs=2)
+        # narrow-max LWW kernel: the measured-best apply path (winners-only
+        # wide shuffle; see BENCH/BASELINE.md kernel A/B)
+        replay_log(tbl, log, num_epochs=2, lww_strategy="narrow")
         dt = time.time() - t0
         replay_sec = dt if replay_sec is None else min(replay_sec, dt)
         samples.setdefault("cdc_replay", []).append(round(dt, 3))
