@@ -321,18 +321,28 @@ def _merge_into_locked(
         srcr = spark.read.schema(src.schema).parquet(scratch_dir)
 
         # ---- 3. Narrow key probe: winner keys ⟕ target(key, _lsn) — both
-        # sides key-sized, payloads never move. Explicit shuffle-hash: a
-        # sort-merge plan (AQE's occasional pick at borderline sizes) pays two
-        # sorts for nothing, and plan flapping makes throughput bimodal.
+        # sides key-sized, payloads never move. The manifest's per-bucket row
+        # counts size the target side FOR FREE (no sizing job): when the
+        # touched buckets hold ≤ BROADCAST_KEYS_MAX visible rows, broadcast
+        # them so the batch side streams from scratch with NO exchange — this
+        # is per-epoch serial shuffle latency, so removing it raises N→4N
+        # scaling efficiency, not just wall-clock. (Tombstones add physical
+        # rows beyond the visible count; they are bounded by vacuum cadence
+        # and the 4M threshold carries slack — see BROADCAST_KEYS_MAX.)
+        # Above the threshold, explicit shuffle-hash: a sort-merge plan
+        # (AQE's occasional pick at borderline sizes) pays two sorts for
+        # nothing, and plan flapping makes throughput bimodal.
         tgt_keys = table.read(
             buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
+        ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
+        tgt_rows_est = sum(prev_counts.get(b, 0) for b in touched)
+        tgt_side = (
+            F.broadcast(tgt_keys)
+            if tgt_rows_est <= BROADCAST_KEYS_MAX
+            else tgt_keys.hint("shuffle_hash")
         )
         narrow = srcr.select(key, lsn_col, op_col, "_bucket", "_n_events").join(
-            tgt_keys.withColumnRenamed(LSN_COL, "_t_lsn")
-            .withColumnRenamed(DELETED_COL, "_t_del")
-            .hint("shuffle_hash"),
-            on=key,
-            how="left",
+            tgt_side, on=key, how="left"
         )
         # Action matrix vs (target present?, target tombstone?, op):
         #   insert           no target,        op != delete  → new visible row
@@ -658,14 +668,16 @@ def _merge_mor_locked(
     )
     tgt_keys = table.read(
         buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
+    ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
+    # manifest-sized broadcast, same policy as the cow probe: the target side
+    # is known small for free, so the delta side streams with no exchange
+    tgt_rows_est = sum(prev_counts.get(b, 0) for b in touched)
+    tgt_side = (
+        F.broadcast(tgt_keys)
+        if tgt_rows_est <= BROADCAST_KEYS_MAX
+        else tgt_keys.hint("shuffle_hash")
     )
-    narrow = srcn.join(
-        tgt_keys.withColumnRenamed(LSN_COL, "_t_lsn")
-        .withColumnRenamed(DELETED_COL, "_t_del")
-        .hint("shuffle_hash"),
-        on=key,
-        how="left",
-    )
+    narrow = srcn.join(tgt_side, on=key, how="left")
     newer = F.col("_t_lsn").isNull() | (F.col(LSN_COL) > F.col("_t_lsn"))
     t_missing = F.col("_t_lsn").isNull()
     t_dead = F.coalesce(F.col("_t_del"), F.lit(False))
