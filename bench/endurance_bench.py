@@ -58,6 +58,7 @@ def main() -> None:
     ap.add_argument("--max-len", type=int, default=64)
     ap.add_argument("--buckets", type=int, default=128)
     ap.add_argument("--mode", choices=("cow", "mor"), default="cow")
+    ap.add_argument("--lww", choices=("window", "narrow"), default="window")
     ap.add_argument("--compact-every", type=int, default=5,
                     help="run compact+vacuum+expire after every K epochs (0=never)")
     ap.add_argument("--salt", type=int, default=0)
@@ -113,6 +114,7 @@ def main() -> None:
         r = merge_into(
             tbl, batch, epoch=f"endurance:{e}",
             salt_partitions=args.salt or None, mode=args.mode,
+            lww_strategy=args.lww,
         )
         dt = time.time() - t0
         series.append({
@@ -148,6 +150,7 @@ def main() -> None:
     out = {
         "metric": "endurance_epoch_seconds",
         "mode": args.mode,
+        "lww": args.lww,
         "epochs": args.epochs,
         "events_per_epoch": args.events,
         "total_events": args.epochs * args.events,
