@@ -118,6 +118,7 @@ def lww_latest_narrow(
     descending: bool = True,
     count_col: str | None = None,
     num_partitions: int | None = None,
+    broadcast_winners: bool = True,
 ) -> DataFrame:
     """Two-phase narrow-max LWW: bit-identical winners to ``lww_latest``,
     but the wide shuffle moves only the WINNERS' payloads, not every event.
@@ -127,9 +128,16 @@ def lww_latest_narrow(
        input partition before anything moves (no salting needed).
     2. Join the (key, winning order) pairs back to the batch and keep rows
        whose order equals the winner's (null-safe, so an all-NULL-order key
-       degrades to the same full-tie pick as the window path). The join side
-       is key-sized; AQE broadcast-sizes it at runtime, in which case the
-       batch streams with NO shuffle.
+       degrades to the same full-tie pick as the window path). With
+       ``broadcast_winners`` (default) the key-sized winner set is broadcast,
+       so the batch streams from its scan with NO exchange — Catalyst fuses
+       the equality filter into the join as a composite (order, key) hash
+       key, and without the hint that fusion forces a sort-merge exchange of
+       every payload, defeating the point (verified on the physical plan).
+       The winner set is one narrow row per key; the broadcast is sized by
+       the same contract as ``BROADCAST_KEYS_MAX`` (micro-batch epochs are
+       bounded by construction). Pass ``broadcast_winners=False`` for
+       unbounded key sets — the shuffled join is still correct, just wide.
     3. The existing deterministic tie-break (xxhash64 over the full payload,
        identical column order to ``lww_latest``) picks one row per key among
        the few order-tied candidates; its window exchange doubles as the
@@ -155,7 +163,8 @@ def lww_latest_narrow(
     winners = df.groupBy(*[F.col(k) for k in keys]).agg(
         agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
     )
-    cand = df.join(winners, on=keys, how="inner").filter(
+    win_side = F.broadcast(winners) if broadcast_winners else winners
+    cand = df.join(win_side, on=keys, how="inner").filter(
         F.col(order_col).eqNullSafe(F.col("_w_ord"))
     )
     if num_partitions:
