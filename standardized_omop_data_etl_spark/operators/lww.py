@@ -28,6 +28,13 @@ Scale notes
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
+
+# Winner sets at or below this many keys are broadcast in the narrow kernel's
+# candidate join; larger sets fall back to a shuffled hash join. Same contract
+# (and default value) as plans.merge.BROADCAST_KEYS_MAX — the keys are short
+# strings, so 4M keys ≈ 100-200 MB broadcast, sized for real executors.
+BROADCAST_KEYS_MAX = 4_000_000
 
 
 def lww_latest(
@@ -89,7 +96,14 @@ def lww_latest(
             )
         return out.filter(F.col("_rn") == 1).drop("_rn")
 
-    order_key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    # asc_nulls_last mirrors F.min's NULL handling (min ignores NULLs), so the
+    # narrow kernel's eqNullSafe probe and this window pick the same winner
+    # when ascending order values contain NULLs. Spark's desc() is already
+    # NULLS LAST, matching F.max. A key whose order values are ALL NULL
+    # degrades to the pure payload-hash tie-break on both paths.
+    order_key = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc_nulls_last()
+    )
     if salt_partitions and salt_partitions > 1:
         # Two-phase salted pick, both phases windowed (codegen sort +
         # row_number — never ObjectHashAggregate): phase 1 reduces per
@@ -118,7 +132,8 @@ def lww_latest_narrow(
     descending: bool = True,
     count_col: str | None = None,
     num_partitions: int | None = None,
-    broadcast_winners: bool = True,
+    broadcast_winners: bool | str = "auto",
+    broadcast_keys_max: int = BROADCAST_KEYS_MAX,
 ) -> DataFrame:
     """Two-phase narrow-max LWW: bit-identical winners to ``lww_latest``,
     but the wide shuffle moves only the WINNERS' payloads, not every event.
@@ -128,16 +143,28 @@ def lww_latest_narrow(
        input partition before anything moves (no salting needed).
     2. Join the (key, winning order) pairs back to the batch and keep rows
        whose order equals the winner's (null-safe, so an all-NULL-order key
-       degrades to the same full-tie pick as the window path). With
-       ``broadcast_winners`` (default) the key-sized winner set is broadcast,
-       so the batch streams from its scan with NO exchange — Catalyst fuses
-       the equality filter into the join as a composite (order, key) hash
-       key, and without the hint that fusion forces a sort-merge exchange of
-       every payload, defeating the point (verified on the physical plan).
-       The winner set is one narrow row per key; the broadcast is sized by
-       the same contract as ``BROADCAST_KEYS_MAX`` (micro-batch epochs are
-       bounded by construction). Pass ``broadcast_winners=False`` for
-       unbounded key sets — the shuffled join is still correct, just wide.
+       degrades to the same full-tie pick as the window path). When the
+       winner set is broadcast the batch streams from its scan with NO
+       exchange — Catalyst fuses the equality filter into the join as a
+       composite (order, key) hash key, and without the hint that fusion
+       forces a sort-merge exchange of every payload, defeating the point
+       (verified on the physical plan). ``broadcast_winners`` controls this:
+
+       * ``"auto"`` (default) — the phase-1 aggregate is persisted and its
+         exact key count measured (one narrow job over data the join reuses
+         from cache, so nothing is computed twice); the winner set is
+         broadcast only when the count is ≤ ``broadcast_keys_max``, else the
+         candidate join is an explicit shuffled hash join (never sort-merge:
+         sorting both sides for an existence-shaped probe is waste, and plan
+         flapping makes throughput bimodal). This is the size guard that
+         makes the kernel safe for UNBOUNDED key sets — an initial-load epoch
+         with tens of millions of distinct keys must not broadcast them.
+         The persisted aggregate is attached to the result as
+         ``._sodes_pinned`` so callers that materialize the output can
+         release it (see ``unpersist_pinned``).
+       * ``True`` / ``False`` — explicit, no measuring job: force the
+         broadcast (caller guarantees a bounded key set) or the shuffled
+         join (caller knows it is key-heavy).
     3. The existing deterministic tie-break (xxhash64 over the full payload,
        identical column order to ``lww_latest``) picks one row per key among
        the few order-tied candidates; its window exchange doubles as the
@@ -163,7 +190,14 @@ def lww_latest_narrow(
     winners = df.groupBy(*[F.col(k) for k in keys]).agg(
         agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
     )
-    win_side = F.broadcast(winners) if broadcast_winners else winners
+    pinned = None
+    if broadcast_winners == "auto":
+        pinned = winners.persist(StorageLevel.MEMORY_AND_DISK)
+        do_broadcast = pinned.count() <= broadcast_keys_max
+        winners = pinned
+    else:
+        do_broadcast = bool(broadcast_winners)
+    win_side = F.broadcast(winners) if do_broadcast else winners.hint("shuffle_hash")
     cand = df.join(win_side, on=keys, how="inner").filter(
         F.col(order_col).eqNullSafe(F.col("_w_ord"))
     )
@@ -174,9 +208,21 @@ def lww_latest_narrow(
     out = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     if count_col:
         out = out.withColumn(count_col, F.col("_w_cnt"))
-    return out.drop("_rn", "_w_ord", "_w_cnt").select(
+    out = out.drop("_rn", "_w_ord", "_w_cnt").select(
         *payload_cols, *([count_col] if count_col else [])
     )
+    out._sodes_pinned = pinned  # released via unpersist_pinned once materialized
+    return out
+
+
+def unpersist_pinned(df: DataFrame) -> None:
+    """Release the phase-1 aggregate a ``broadcast_winners='auto'`` call
+    pinned in the block-manager cache. Call AFTER the returned DataFrame has
+    been materialized (written/collected) — long epoch loops would otherwise
+    accumulate one key-sized cached aggregate per epoch."""
+    pinned = getattr(df, "_sodes_pinned", None)
+    if pinned is not None:
+        pinned.unpersist()
 
 
 def priority_dedup(

@@ -73,7 +73,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.storagelevel import StorageLevel
 
-from ..operators.lww import lww_latest, lww_latest_narrow
+from ..operators.lww import lww_latest, lww_latest_narrow, unpersist_pinned
 from ..sources.lake import (
     DELETED_COL,
     LINEAGE_COL,
@@ -150,7 +150,7 @@ def merge_into(
     source_name: str = "changelog",
     mode: str = "cow",
     missing: str = "null",
-    lww_strategy: str = "window",
+    lww_strategy: str = "narrow",
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
     enforced via the table's writer lease (a concurrent merge raises
@@ -175,6 +175,13 @@ def merge_into(
     (``"null"`` fills NULL — partial-payload changelogs; ``"error"`` raises
     ``SchemaEvolutionError``, flagging probable renames — see
     ``diff_schema``).
+
+    ``lww_strategy`` picks the per-key conflict-resolution kernel:
+    ``"narrow"`` (default — measured ~3.5×/core faster; winner-set broadcast
+    size-guarded, see ``_lww_winners``) or ``"window"`` (single windowed
+    shuffle of every payload; pair with ``salt_partitions`` for degenerate
+    order columns where one key's MAX LSN itself is massively duplicated —
+    replay LSNs are unique per key, so that arises only off-contract).
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
@@ -214,13 +221,22 @@ def _lww_winners(
     ``num_buckets``), with the collapsed-event count in ``_n_events``.
 
     ``strategy='window'`` shuffles every event payload once (row_number over
-    a key-partitioned window); ``strategy='narrow'`` reduces (key, lsn) map-
-    side first and moves only the winners' payloads — same winners bit-exact
+    a key-partitioned window); ``strategy='narrow'`` (the default — measured
+    ~3.5×/core faster, see BENCH/BASELINE.md) reduces (key, lsn) map-side
+    first and moves only the winners' payloads — same winners bit-exact
     (see ``lww_latest_narrow``), ~events-per-key× fewer wide-shuffle bytes,
-    hot keys combine before the exchange so salting is unnecessary."""
+    hot keys combine before the exchange so salting is unnecessary. The
+    narrow kernel's winner-set broadcast is size-guarded against
+    ``BROADCAST_KEYS_MAX`` (``broadcast_winners='auto'`` measures the exact
+    key count off the persisted phase-1 aggregate and falls back to a
+    shuffled hash join past the bound — a key-heavy epoch, e.g. an initial
+    load, must never broadcast millions of winner rows). The pinned
+    aggregate is released by the caller via ``unpersist_pinned`` once the
+    winners are materialized to scratch/delta files."""
     if strategy == "narrow":
         return lww_latest_narrow(
-            batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets
+            batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets,
+            broadcast_winners="auto", broadcast_keys_max=BROADCAST_KEYS_MAX,
         )
     src = lww_latest(
         batch,
@@ -247,7 +263,7 @@ def _merge_into_locked(
     source_name: str,
     lease_owner: str,
     missing: str = "null",
-    lww_strategy: str = "window",
+    lww_strategy: str = "narrow",
 ) -> MergeResult:
     timing = os.environ.get("SODES_MERGE_TIMING") == "1"
     marks: list[tuple[str, float]] = [("start", time.time())]
@@ -282,12 +298,13 @@ def _merge_into_locked(
     batch = batch.filter(
         F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
     )
-    src = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
-    src = src.withColumn("_bucket", bucket_expr(key, num_buckets))
+    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
+    src = winners_df.withColumn("_bucket", bucket_expr(key, num_buckets))
     scratch_dir = table.fs.join(
         table.path, DATA_DIR, f"scratch-{re.sub(r'[^A-Za-z0-9_.-]', '_', epoch)}-{uuid.uuid4().hex[:8]}"
     )
     src.write.partitionBy("_bucket").parquet(scratch_dir)
+    unpersist_pinned(winners_df)  # winners are on scratch disk now
     touched = sorted(
         int(d.split("=", 1)[1])
         for d in table.fs.listdir(scratch_dir)
@@ -558,7 +575,7 @@ def _merge_mor_locked(
     source_name: str,
     lease_owner: str,
     missing: str = "null",
-    lww_strategy: str = "window",
+    lww_strategy: str = "narrow",
 ) -> MergeResult:
     """Merge-on-read apply: ONE payload write per epoch.
 
@@ -611,7 +628,8 @@ def _merge_mor_locked(
     batch = batch.filter(
         F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
     )
-    src = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
+    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
+    src = winners_df
     src_lineage = F.concat_ws(
         " | ",
         F.lit(source_name),
@@ -629,6 +647,7 @@ def _merge_mor_locked(
     )
     version = table.current_version() + 1
     new_files, _ = table.write_bucket_files(delta, version, cluster=False)
+    unpersist_pinned(winners_df)  # winners are final delta files now
     touched = sorted(new_files)
     mark("lww+delta")
 

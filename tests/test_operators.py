@@ -433,3 +433,72 @@ def test_ivf_topk_recall_vs_brute(spark, emb):
     i = set(zip(ivf["query_id"], ivf["neighbor_id"]))
     recall = len(b & i) / len(b)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+# --------------------------------------------------- narrow LWW size guard
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lww_narrow_auto_shuffles_past_key_threshold(spark):
+    """broadcast_winners='auto' must NOT broadcast a winner set larger than
+    broadcast_keys_max: the candidate join falls back to a shuffled hash
+    join (no BroadcastExchange in the plan) with bit-identical output."""
+    from standardized_omop_data_etl_spark.operators.lww import (
+        lww_latest_narrow,
+        unpersist_pinned,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", j, f"v{i}-{j}") for i in range(100) for j in range(3)],
+        "k string, lsn int, v string",
+    )
+    out = lww_latest_narrow(df, "k", "lsn", count_col="_n", broadcast_keys_max=10)
+    plan = _physical_plan(out)
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+    got = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out.collect()}
+    exp = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in
+           lww_latest(df, "k", "lsn", count_col="_n").collect()}
+    assert got == exp
+    assert getattr(out, "_sodes_pinned", None) is not None
+    unpersist_pinned(out)  # must not raise; releases the pinned aggregate
+
+
+def test_lww_narrow_auto_broadcasts_small_key_sets(spark):
+    from standardized_omop_data_etl_spark.operators.lww import (
+        lww_latest_narrow,
+        unpersist_pinned,
+    )
+
+    df = spark.createDataFrame(
+        [(f"k{i}", j, "x") for i in range(20) for j in range(2)],
+        "k string, lsn int, v string",
+    )
+    out = lww_latest_narrow(df, "k", "lsn")
+    assert "BroadcastExchange" in _physical_plan(out)
+    assert out.count() == 20
+    unpersist_pinned(out)
+
+
+def test_lww_narrow_null_order_parity(spark):
+    """NULL order values: narrow (F.min/F.max skip NULLs) and window
+    (asc_nulls_last / desc) must pick identical winners in BOTH directions,
+    including a key whose order values are all NULL."""
+    from standardized_omop_data_etl_spark.operators.lww import lww_latest_narrow
+
+    df = spark.createDataFrame(
+        [("a", 5, "a5"), ("a", None, "aN"), ("a", 1, "a1"),
+         ("b", None, "bN1"), ("b", None, "bN2"),
+         ("c", 7, "c7")],
+        "k string, lsn int, v string",
+    )
+    for desc in (True, False):
+        win = {(r["k"], r["lsn"], r["v"])
+               for r in lww_latest(df, "k", "lsn", descending=desc).collect()}
+        nar = {(r["k"], r["lsn"], r["v"])
+               for r in lww_latest_narrow(df, "k", "lsn", descending=desc,
+                                          broadcast_winners=True).collect()}
+        assert win == nar, f"descending={desc}: {win} != {nar}"

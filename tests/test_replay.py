@@ -404,3 +404,30 @@ def test_lww_narrow_replay_matches_oracle(spark, tmp_path, fixtures):
         m = results[-1].metrics
         assert sum(r.metrics["events_seen"] for r in results) == N_EVENTS
         assert m["conflicts_resolved"] >= 0
+
+
+def test_narrow_default_winner_broadcast_guard(spark, tmp_path, fixtures, monkeypatch):
+    """lww_strategy now DEFAULTS to narrow; with BROADCAST_KEYS_MAX forced
+    below the epoch's key count the winner-set join must run shuffled (no
+    static BroadcastExchange) and the final state stays bit-exact vs the
+    window strategy and the pandas oracle."""
+    import standardized_omop_data_etl_spark.plans.merge as M
+    from standardized_omop_data_etl_spark.operators import lww as L
+
+    base, log, base_pdf, log_pdf = fixtures
+    monkeypatch.setattr(M, "BROADCAST_KEYS_MAX", 1)
+
+    # plan-level proof on the exact kernel call merge makes
+    out = L.lww_latest_narrow(
+        log, "doc_id", "lsn", count_col="_n_events", num_partitions=8,
+        broadcast_winners="auto", broadcast_keys_max=M.BROADCAST_KEYS_MAX,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+    L.unpersist_pinned(out)
+
+    # end-to-end: default strategy (narrow), guarded, bit-exact in both modes
+    for mode in ("cow", "mor"):
+        tbl = make_table(spark, tmp_path, base, f"tguard_{mode}")
+        replay_log(tbl, log, num_epochs=2, mode=mode)
+        assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
