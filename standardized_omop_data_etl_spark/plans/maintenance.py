@@ -109,10 +109,13 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
     clustered = out.repartition(new_num_buckets, F.col(key))
     new_files, out_dir = table.write_bucket_files(clustered, version, cluster=False)
 
-    # per-bucket VISIBLE row counts from the written files (key + tombstone
-    # marker only — tombstones are physical rows but not table rows)
+    # per-bucket counts from the written files in ONE narrow pass (key +
+    # tombstone marker only): every written row is one key (the rewrite read
+    # resolved state), so count(*) = distinct keys and the not-deleted count
+    # = visible rows.
     all_files = [table.fs.join(table.path, f) for fl in new_files.values() for f in fl]
     counts: dict[int, int] = {}
+    kcounts: dict[int, int] = {}
     if all_files:
         from pyspark.sql import types as T
 
@@ -122,12 +125,17 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
         cnt = (
             table.spark.read.schema(narrow)
             .parquet(*all_files)
-            .filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
             .groupBy(bucket_expr(key, new_num_buckets).alias("_b"))
-            .count()
+            .agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.sum(
+                    F.when(F.coalesce(F.col(DELETED_COL), F.lit(False)), 0).otherwise(1)
+                ).alias("visible"),
+            )
             .collect()
         )
-        counts = {r["_b"]: r["count"] for r in cnt}
+        counts = {r["_b"]: int(r["visible"]) for r in cnt}
+        kcounts = {r["_b"]: int(r["keys"]) for r in cnt}
 
     m = table.manifest()
     manifest = {
@@ -142,7 +150,8 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
         "key_col": key,
         "num_buckets": new_num_buckets,
         "files": {str(b): fl for b, fl in new_files.items() if fl},
-        "row_counts": {str(b): int(c) for b, c in counts.items()},
+        "row_counts": {str(b): int(c) for b, c in counts.items() if c},
+        "key_counts": {str(b): int(c) for b, c in kcounts.items() if c},
         "mor_buckets": [],  # full rewrite materializes any merge-on-read state
         "properties": m["properties"],
         "summary": {"operation": "rebucket", "from": m["num_buckets"], "to": new_num_buckets},
@@ -177,12 +186,18 @@ def compact_buckets(table: LakeTable, max_files_per_bucket: int = 4) -> int:
         )
         new_files, _ = table.write_bucket_files(rows, version, cluster=True)
         prev_counts = {int(b): int(c) for b, c in m.get("row_counts", {}).items()}
+        # visible rows AND distinct keys are unchanged by compaction (the
+        # rewrite materializes resolved state: one row per key, tombstones
+        # kept) — restamp both so commit doesn't drop the replaced entries
+        prev_keys = dict(prev_counts)
+        prev_keys.update({int(b): int(c) for b, c in m.get("key_counts", {}).items()})
         table.assert_writer_lease(owner)
         return table.commit(
             new_files,
             replaced_buckets=set(buckets),
             summary={"operation": "compact", "buckets": buckets},
             row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
+            key_counts_update={b: prev_keys.get(b, 0) for b in buckets},
         )
     finally:
         table.release_writer_lease(owner)
@@ -220,10 +235,26 @@ def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
         ).withColumn("_bucket", bucket_expr(key, num_buckets))
         new_files, out_dir = table.write_bucket_files(keep, version, cluster=False)
         # visible counts are unchanged by tombstone GC — re-stamp them for the
-        # rewritten buckets (commit drops counts of replaced buckets otherwise)
+        # rewritten buckets (commit drops counts of replaced buckets otherwise).
+        # Distinct keys DO shrink (vacuumed tombstone keys are gone); every
+        # written row is one key, so one narrow count of the new files is exact.
         prev_counts = {
             int(b): int(c) for b, c in table.manifest().get("row_counts", {}).items()
         }
+        all_files = [table.fs.join(table.path, f) for fl in new_files.values() for f in fl]
+        kcounts: dict[int, int] = {b: 0 for b in buckets}
+        if all_files:
+            from pyspark.sql import types as T
+
+            key_only = T.StructType([table.schema()[key]])
+            cnt = (
+                table.spark.read.schema(key_only)
+                .parquet(*all_files)
+                .groupBy(bucket_expr(key, num_buckets).alias("_b"))
+                .count()
+                .collect()
+            )
+            kcounts.update({int(r["_b"]): int(r["count"]) for r in cnt})
         table.assert_writer_lease(owner)
         return table.commit(
             new_files,
@@ -231,6 +262,7 @@ def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
             summary={"operation": "vacuum_tombstones", "watermark_lsn": watermark_lsn,
                      "buckets": buckets},
             row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
+            key_counts_update=kcounts,
         )
     finally:
         table.release_writer_lease(owner)

@@ -282,6 +282,11 @@ def _merge_into_locked(
     num_buckets = table.num_buckets
     manifest = table.manifest()
     prev_counts = {int(b): int(c) for b, c in manifest.get("row_counts", {}).items()}
+    # distinct-key counts (live + tombstoned): exactly what the probe's
+    # include_hidden scan materializes — sizes the broadcast gate. Legacy
+    # manifests lack the entry; the visible count is the fallback.
+    prev_keys = dict(prev_counts)
+    prev_keys.update({int(b): int(c) for b, c in manifest.get("key_counts", {}).items()})
     _sweep_stale_scratch(table)
 
     # ---- 1. ALTER-before-MERGE: schema-registry diff on the payload schema.
@@ -340,19 +345,19 @@ def _merge_into_locked(
         # ---- 3. Narrow key probe: winner keys ⟕ target(key, _lsn) — both
         # sides key-sized, payloads never move. The manifest's per-bucket row
         # counts size the target side FOR FREE (no sizing job): when the
-        # touched buckets hold ≤ BROADCAST_KEYS_MAX visible rows, broadcast
-        # them so the batch side streams from scratch with NO exchange — this
-        # is per-epoch serial shuffle latency, so removing it raises N→4N
-        # scaling efficiency, not just wall-clock. (Tombstones add physical
-        # rows beyond the visible count; they are bounded by vacuum cadence
-        # and the 4M threshold carries slack — see BROADCAST_KEYS_MAX.)
-        # Above the threshold, explicit shuffle-hash: a sort-merge plan
-        # (AQE's occasional pick at borderline sizes) pays two sorts for
-        # nothing, and plan flapping makes throughput bimodal.
+        # touched buckets hold ≤ BROADCAST_KEYS_MAX distinct KEYS (live +
+        # tombstoned — exactly what this include_hidden scan materializes:
+        # clean buckets hold one row per key, mor buckets resolve to it),
+        # broadcast them so the batch side streams from scratch with NO
+        # exchange — this is per-epoch serial shuffle latency, so removing it
+        # raises N→4N scaling efficiency, not just wall-clock. Above the
+        # threshold, explicit shuffle-hash: a sort-merge plan (AQE's
+        # occasional pick at borderline sizes) pays two sorts for nothing,
+        # and plan flapping makes throughput bimodal.
         tgt_keys = table.read(
             buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
         ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
-        tgt_rows_est = sum(prev_counts.get(b, 0) for b in touched)
+        tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
         tgt_side = (
             F.broadcast(tgt_keys)
             if tgt_rows_est <= BROADCAST_KEYS_MAX
@@ -414,6 +419,7 @@ def _merge_into_locked(
         last_lsn = -1
         changed: list[int] = []
         new_counts: dict[int, int] = {}
+        new_keys: dict[int, int] = {}
         for r in stats:
             d = r.asDict()
             b = int(d.pop("_bucket"))
@@ -431,6 +437,12 @@ def _merge_into_locked(
                 changed.append(b)
                 new_counts[b] = (
                     prev_counts.get(b, 0) + pb["inserts"] + pb["revives"] - pb["deletes"]
+                )
+                # only brand-new keys change the distinct-key count; every
+                # other action replaces (or appends a newer version of) an
+                # existing key's row
+                new_keys[b] = (
+                    prev_keys.get(b, 0) + pb["inserts"] + pb["tombstone_inserts"]
                 )
         changed.sort()
         # keys whose existing target row (live or tombstone) is displaced
@@ -544,6 +556,7 @@ def _merge_into_locked(
                 "schema_changes": changes,
             },
             row_counts_update=new_counts,
+            key_counts_update=new_keys,
         )
         table.stamp_epoch(epoch, metrics["last_lsn"], metrics, new_version)
         mark("commit")
@@ -612,6 +625,8 @@ def _merge_mor_locked(
     num_buckets = table.num_buckets
     manifest = table.manifest()
     prev_counts = {int(b): int(c) for b, c in manifest.get("row_counts", {}).items()}
+    prev_keys = dict(prev_counts)  # distinct keys; cf. the cow path
+    prev_keys.update({int(b): int(c) for b, c in manifest.get("key_counts", {}).items()})
     _sweep_stale_scratch(table)
 
     # ---- 1. ALTER-before-MERGE (identical to the cow path).
@@ -689,8 +704,9 @@ def _merge_mor_locked(
         buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
     ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
     # manifest-sized broadcast, same policy as the cow probe: the target side
-    # is known small for free, so the delta side streams with no exchange
-    tgt_rows_est = sum(prev_counts.get(b, 0) for b in touched)
+    # is known small for free (distinct keys = rows the resolved include_hidden
+    # scan materializes), so the delta side streams with no exchange
+    tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
     tgt_side = (
         F.broadcast(tgt_keys)
         if tgt_rows_est <= BROADCAST_KEYS_MAX
@@ -729,6 +745,7 @@ def _merge_mor_locked(
     totals = {k: 0 for k in (*_ACTIONS, "events_seen")}
     last_lsn = -1
     new_counts: dict[int, int] = {}
+    new_keys: dict[int, int] = {}
     bytes_written = 0
     for r in stats:
         d = r.asDict()
@@ -748,6 +765,7 @@ def _merge_mor_locked(
         new_counts[b] = (
             prev_counts.get(b, 0) + pb["inserts"] + pb["revives"] - pb["deletes"]
         )
+        new_keys[b] = prev_keys.get(b, 0) + pb["inserts"] + pb["tombstone_inserts"]
     metrics = {
         **totals,
         "events_applied": (
@@ -778,6 +796,7 @@ def _merge_mor_locked(
             "schema_changes": changes,
         },
         row_counts_update=new_counts,
+        key_counts_update=new_keys,
         append=True,
     )
     table.stamp_epoch(epoch, metrics["last_lsn"], metrics, new_version)

@@ -263,7 +263,14 @@ class LakeTable:
             "key_col": key_col,
             "num_buckets": num_buckets,
             "files": {},  # bucket(str) -> [relative data file paths]
-            "row_counts": {},  # bucket(str) -> row count (for merge metrics)
+            "row_counts": {},  # bucket(str) -> VISIBLE row count (merge metrics)
+            # bucket(str) -> DISTINCT-KEY count (live + tombstoned keys) —
+            # exactly the rows an include_hidden read of the bucket
+            # materializes (mor deltas resolve to one row per key), so it —
+            # not the visible count — sizes the merge probe's broadcast
+            # gate; tombstone build-up between vacuums would otherwise blow
+            # the gate's estimate without bound.
+            "key_counts": {},
             "properties": properties or {},
             "summary": {"operation": "create", "total_rows": 0},
         }
@@ -434,6 +441,18 @@ class LakeTable:
 
     def properties(self, version: int | None = None) -> dict[str, Any]:
         return self.manifest(version)["properties"]
+
+    def key_counts(self, version: int | None = None) -> dict[int, int]:
+        """Per-bucket distinct-key counts (live + tombstoned) — exactly what
+        an ``include_hidden`` read of the bucket materializes: clean buckets
+        hold one physical row per key by construction, and mor buckets
+        resolve to one row per key at read time. Buckets without an entry
+        (legacy / pre-upgrade manifests) fall back to the visible count: an
+        undercount only until the next write of that bucket re-stamps it."""
+        m = self.manifest(version)
+        vis = {int(b): int(c) for b, c in m.get("row_counts", {}).items()}
+        keys = {int(b): int(c) for b, c in m.get("key_counts", {}).items()}
+        return {**vis, **keys}
 
     # -- reads ---------------------------------------------------------------
 
@@ -608,6 +627,7 @@ class LakeTable:
         properties_update: dict[str, Any] | None = None,
         summary: dict[str, Any] | None = None,
         row_counts_update: dict[int, int] | None = None,
+        key_counts_update: dict[int, int] | None = None,
         append: bool = False,
     ) -> int:
         """Commit a new snapshot: replace files for ``replaced_buckets`` with
@@ -641,17 +661,20 @@ class LakeTable:
         props = dict(m["properties"])
         if properties_update:
             props.update(properties_update)
-        row_counts = {
-            b: c for b, c in m.get("row_counts", {}).items() if int(b) not in replaced_buckets
-        }
-        for b, c in (row_counts_update or {}).items():
-            # an explicit update always wins: in the append (mor) path the
-            # bucket's old entry was NOT dropped above, so a count falling to
-            # zero must overwrite (pop) it rather than be skipped.
-            if c > 0:
-                row_counts[str(b)] = int(c)
-            else:
-                row_counts.pop(str(b), None)
+        def _apply_counts(prev: dict[str, int], update: dict[int, int] | None) -> dict[str, int]:
+            out = {b: c for b, c in prev.items() if int(b) not in replaced_buckets}
+            for b, c in (update or {}).items():
+                # an explicit update always wins: in the append (mor) path the
+                # bucket's old entry was NOT dropped above, so a count falling
+                # to zero must overwrite (pop) it rather than be skipped.
+                if c > 0:
+                    out[str(b)] = int(c)
+                else:
+                    out.pop(str(b), None)
+            return out
+
+        row_counts = _apply_counts(m.get("row_counts", {}), row_counts_update)
+        key_counts = _apply_counts(m.get("key_counts", {}), key_counts_update)
         self._check_format(m)
         manifest = {
             "version": new_version,
@@ -662,6 +685,7 @@ class LakeTable:
             "num_buckets": m["num_buckets"],
             "files": files,
             "row_counts": row_counts,
+            "key_counts": key_counts,
             "mor_buckets": sorted(mor),
             "properties": props,
             "summary": summary or {},
@@ -712,6 +736,7 @@ class LakeTable:
             replaced_buckets=set(range(self.num_buckets)),
             summary={"operation": "overwrite"},
             row_counts_update=counts,
+            key_counts_update=counts,  # bootstrap: one row per key, no tombstones
         )
 
     # -- maintenance ---------------------------------------------------------
@@ -736,6 +761,7 @@ class LakeTable:
                 "num_buckets": target["num_buckets"],
                 "files": target["files"],
                 "row_counts": target.get("row_counts", {}),
+                "key_counts": target.get("key_counts", {}),
                 "mor_buckets": target.get("mor_buckets", []),
                 "properties": target["properties"],
                 "summary": {"operation": "rollback", "to": version},

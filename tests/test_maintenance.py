@@ -209,3 +209,58 @@ def test_compact_buckets(spark, tmp_path):
     assert tbl.read(include_hidden=True).count() == hidden_before
     # compaction is a no-op when already compact
     assert compact_buckets(tbl, max_files_per_bucket=4) == v
+
+
+def test_key_counts_track_resolved_rows_through_lifecycle(spark, tmp_path):
+    """The manifest's key_counts (what sizes the merge probe's broadcast
+    gate) must equal the per-bucket rows an include_hidden read actually
+    materializes — after cow merges with deletes (tombstones), mor appends,
+    compaction, and a tombstone vacuum."""
+    from standardized_omop_data_etl_spark.plans.maintenance import (
+        compact_buckets,
+        vacuum_tombstones,
+    )
+    from standardized_omop_data_etl_spark.plans.merge import merge_into
+    from standardized_omop_data_etl_spark.sources.lake import bucket_expr
+
+    def actual_by_bucket(tbl):
+        rows = (
+            tbl.read(include_hidden=True, columns=[tbl.key_col])
+            .groupBy(bucket_expr(tbl.key_col, tbl.num_buckets).alias("_b"))
+            .count()
+            .collect()
+        )
+        return {int(r["_b"]): int(r["count"]) for r in rows}
+
+    def assert_counts(tbl, label):
+        assert tbl.key_counts() == actual_by_bucket(tbl), label
+        vis = (
+            tbl.read(columns=[tbl.key_col])
+            .groupBy(bucket_expr(tbl.key_col, tbl.num_buckets).alias("_b"))
+            .count()
+            .collect()
+        )
+        got_vis = {int(b): c for b, c in
+                   ((int(k), int(v)) for k, v in tbl.manifest()["row_counts"].items())}
+        assert got_vis == {int(r["_b"]): int(r["count"]) for r in vis}, label
+
+    base = base_sequences(spark, 120, seed=11, max_len=16)
+    log = change_log(spark, 600, 120, seed=11, max_len=16)
+    tbl = _table(spark, tmp_path, base, buckets=4)
+    assert_counts(tbl, "bootstrap")
+
+    mid = 600 // 2
+    merge_into(tbl, log.filter(F.col("lsn") < mid), epoch="cow0")
+    assert_counts(tbl, "after cow merge")
+    merge_into(tbl, log.filter(F.col("lsn") >= mid), epoch="mor0", mode="mor")
+    assert_counts(tbl, "after mor append")
+    compact_buckets(tbl, max_files_per_bucket=1)
+    assert_counts(tbl, "after compaction")
+    hi = log.agg(F.max("lsn")).collect()[0][0]
+    vacuum_tombstones(tbl, watermark_lsn=hi + 1)
+    assert_counts(tbl, "after vacuum")
+    # after vacuuming everything below the watermark there are no tombstones:
+    # distinct keys == visible rows
+    assert tbl.key_counts() == {
+        int(b): int(c) for b, c in tbl.manifest()["row_counts"].items()
+    }
