@@ -14,9 +14,55 @@ still works because each snapshot records its own bucket count.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, functions as F
 
 from ..sources.lake import BUCKET_FN, DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable, bucket_expr
+
+
+@dataclass(frozen=True)
+class MaintenancePolicy:
+    """Cadence policy for background table upkeep inside an ingest loop.
+
+    The 10^10-event regime's flatness (BENCH/endurance_*_r03.json) depends on
+    compaction/vacuum/snapshot-GC actually running; wiring the cadence into
+    ``replay_log``/``stream_changelog_from`` removes the "caller must
+    remember" failure mode — per-bucket file counts and metadata stay bounded
+    by construction.
+
+    * ``every_epochs`` — run the sweep after every N APPLIED (non-skipped)
+      epochs, and once more at the end of a replay. 0 disables the cadence.
+    * ``max_files_per_bucket`` — compaction trigger/target (buckets above it
+      are rewritten to one file). Between sweeps a bucket gains at most one
+      file per applied epoch, so file counts are bounded by
+      ``max_files_per_bucket + every_epochs``.
+    * ``expire_keep_last`` — snapshots retained by the GC pass (None skips
+      snapshot expiry — keep everything for time travel).
+    * ``vacuum`` — GC tombstones below the replay's applied LSN watermark.
+      Only ``replay_log`` honors it: its epochs ascend in disjoint LSN
+      ranges, so after epoch (lo, hi) no event with lsn < hi can ever
+      arrive and the resurrection guard below hi is provably dead weight.
+      Streaming batches carry no such ordering guarantee, so the streaming
+      sink ignores the flag (vacuum there needs an upstream low-watermark
+      the caller must supply explicitly via ``vacuum_tombstones``).
+    """
+
+    every_epochs: int = 8
+    max_files_per_bucket: int = 8
+    expire_keep_last: int | None = 4
+    vacuum: bool = False
+
+
+def run_maintenance(
+    table: LakeTable, policy: MaintenancePolicy, watermark_lsn: int | None = None
+) -> None:
+    """One maintenance sweep under ``policy`` (see ``MaintenancePolicy``)."""
+    compact_buckets(table, max_files_per_bucket=policy.max_files_per_bucket)
+    if policy.vacuum and watermark_lsn is not None:
+        vacuum_tombstones(table, watermark_lsn=watermark_lsn)
+    if policy.expire_keep_last is not None:
+        table.expire_snapshots(keep_last=policy.expire_keep_last)
 
 
 def snapshot_diff(

@@ -101,6 +101,49 @@ VALID_OPS = ("insert", "update", "delete", "upsert")
 BROADCAST_KEYS_MAX = 4_000_000
 
 
+# mode="auto" crossover knobs (see resolve_merge_mode). The endurance
+# campaigns (BENCH/endurance_*_r03.json: 20 epochs × 2M events) give the
+# shape: mor per-epoch cost stays flat (~O(batch): one delta write +
+# key-scale probe) while cow drifts up with table size (the rewrite of every
+# touched bucket re-copies all its resident rows). A uniform-key micro-batch
+# touches essentially every bucket once batch_keys ≳ a few × num_buckets, so
+# cow's write amplification ≈ table_rows / batch_rows; past ~4× the rewrite
+# dominates the epoch and mor + scheduled compaction is strictly cheaper
+# (r3 measured mor 23% faster end-to-end INCLUDING a full materializing
+# compaction at table_rows/batch ≈ 0.4 — 4.0 is conservative).
+AUTO_MOR_REWRITE_AMPLIFICATION = 4.0
+# fallback when the caller can't estimate the batch size: past this many
+# resident rows, routine micro-batches are always small relative to the
+# table, so auto picks mor on table size alone.
+AUTO_MOR_TABLE_ROWS_MIN = 10_000_000
+
+
+def resolve_merge_mode(
+    table_rows: int,
+    batch_rows_est: int | None,
+    amplification: float | None = None,
+) -> str:
+    """Pick cow vs mor for one epoch from free manifest stats.
+
+    * ``table_rows`` — resident visible rows (sum of manifest row_counts; no
+      job needed).
+    * ``batch_rows_est`` — caller's estimate of this epoch's event count (an
+      LSN span, an offsets-manifest delta). Over-estimating the batch biases
+      toward cow — safe, since cow is the bootstrap-friendly default.
+
+    cow when the table is empty/small or the batch rescales the table
+    (initial load, backfill: rewrite cost ≈ batch cost, and cow leaves pure
+    parquet scans behind); mor when the batch is a small fraction of the
+    resident data (steady-state tailing: cow would re-copy
+    ``amplification``× the batch in untouched-row bytes every epoch).
+    """
+    if amplification is None:  # read at call time so tests/ops can retune
+        amplification = AUTO_MOR_REWRITE_AMPLIFICATION
+    if batch_rows_est is not None and batch_rows_est > 0:
+        return "mor" if table_rows > amplification * batch_rows_est else "cow"
+    return "mor" if table_rows > AUTO_MOR_TABLE_ROWS_MIN else "cow"
+
+
 # Action taxonomy of the MERGE matrix (shared by the cow and mor paths and
 # their per-bucket metrics).
 _ACTIONS = (
@@ -151,6 +194,7 @@ def merge_into(
     mode: str = "cow",
     missing: str = "null",
     lww_strategy: str = "narrow",
+    batch_rows_est: int | None = None,
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
     enforced via the table's writer lease (a concurrent merge raises
@@ -170,6 +214,9 @@ def merge_into(
       bucket would otherwise rewrite the whole table each time. Metrics,
       exactly-once stamping, schema evolution, and tombstone semantics are
       identical (verified bit-exact against the cow path and the oracle).
+    * ``"auto"`` — resolved per epoch by ``resolve_merge_mode`` from the
+      manifest's resident row total and ``batch_rows_est`` (cow for
+      bootstrap/backfill-shaped epochs, mor for steady-state tailing).
 
     ``missing`` is the policy for table columns absent from the batch
     (``"null"`` fills NULL — partial-payload changelogs; ``"error"`` raises
@@ -183,8 +230,15 @@ def merge_into(
     order columns where one key's MAX LSN itself is massively duplicated —
     replay LSNs are unique per key, so that arises only off-contract).
     """
-    if mode not in ("cow", "mor"):
-        raise ValueError(f"unknown merge mode {mode!r} (expected 'cow' or 'mor')")
+    if mode not in ("cow", "mor", "auto"):
+        raise ValueError(
+            f"unknown merge mode {mode!r} (expected 'cow', 'mor', or 'auto')"
+        )
+    if mode == "auto":
+        total_rows = sum(
+            int(c) for c in table.manifest().get("row_counts", {}).values()
+        )
+        mode = resolve_merge_mode(total_rows, batch_rows_est)
     if lww_strategy not in ("window", "narrow"):
         raise ValueError(
             f"unknown lww_strategy {lww_strategy!r} (expected 'window' or 'narrow')"

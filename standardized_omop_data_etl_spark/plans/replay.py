@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.lake import LakeTable
+from .maintenance import MaintenancePolicy, run_maintenance
 from .merge import MergeResult, merge_into
 
 
@@ -49,6 +50,7 @@ def replay_log(
     lsn_range: tuple[int, int] | None = None,
     mode: str = "cow",
     lww_strategy: str = "narrow",
+    maintenance: "MaintenancePolicy | None" = None,
 ) -> list[MergeResult]:
     """Apply an entire change log as ``num_epochs`` MERGE commits.
 
@@ -59,6 +61,13 @@ def replay_log(
     ``lsn_range=(min_lsn, max_lsn)`` (inclusive), when the caller already
     knows it (an offsets manifest / binlog position does), skips the
     full-log min/max scan — one less serial driver-side job per replay.
+
+    ``maintenance`` (a ``plans.maintenance.MaintenancePolicy``) runs
+    compaction / tombstone vacuum / snapshot GC every ``every_epochs``
+    applied epochs and once at the end, so sustained replays keep per-bucket
+    file counts and metadata bounded without the caller scheduling anything.
+    The vacuum watermark is the completed epoch's upper LSN bound — epochs
+    ascend in disjoint ranges, so no event below it can arrive later.
     """
     if lsn_range is not None:
         lo_v, hi_v = lsn_range
@@ -70,6 +79,7 @@ def replay_log(
             return []
         lo_v, hi_v = int(lo_hi["lo"]), int(lo_hi["hi"])
     results: list[MergeResult] = []
+    applied_since_sweep = 0
     for lo, hi in epoch_bounds(lo_v, hi_v, num_epochs):
         epoch_id = f"{epoch_prefix}:{lo}-{hi}"
         batch = log.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) < hi))
@@ -83,7 +93,22 @@ def replay_log(
                 salt_partitions=salt_partitions,
                 mode=mode,
                 lww_strategy=lww_strategy,
+                # the epoch's LSN span upper-bounds its event count — free,
+                # and over-estimating biases mode="auto" toward cow (safe)
+                batch_rows_est=hi - lo,
             )
+        )
+        if maintenance is not None and not results[-1].skipped:
+            applied_since_sweep += 1
+            if maintenance.every_epochs and applied_since_sweep >= maintenance.every_epochs:
+                run_maintenance(
+                    table, maintenance,
+                    watermark_lsn=hi if maintenance.vacuum else None,
+                )
+                applied_since_sweep = 0
+    if maintenance is not None and applied_since_sweep:
+        run_maintenance(
+            table, maintenance, watermark_lsn=hi_v + 1 if maintenance.vacuum else None
         )
     return results
 

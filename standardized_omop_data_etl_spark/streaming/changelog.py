@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql import types as T
 
+from ..plans.maintenance import MaintenancePolicy, run_maintenance
 from ..plans.merge import merge_into
 from ..sources.lake import LakeTable
 
@@ -42,6 +43,7 @@ def stream_changelog_from(
     salt_partitions: int | None = None,
     epoch_prefix: str = "stream",
     mode: str = "cow",
+    maintenance: "MaintenancePolicy | None" = None,
 ) -> StreamingQuery:
     """MERGE-sink for ANY streaming DataFrame of changelog events
     ``(lsn, op, <payload>)`` — the source-agnostic seam. A Kafka topic plugs
@@ -56,10 +58,18 @@ def stream_changelog_from(
     and a socket/rate source the same way (exercised in the test suite —
     no Kafka broker exists in this sandbox). Exactly-once is source-
     independent: the checkpoint provides a stable ``batch_id``; the epoch
-    stamp makes re-delivered batches no-ops."""
+    stamp makes re-delivered batches no-ops.
+
+    ``maintenance`` runs a compaction/snapshot-GC sweep every
+    ``every_epochs`` applied batches, so a long-running tail keeps file
+    counts bounded without an external scheduler. The policy's ``vacuum``
+    flag is IGNORED here: streaming batches carry no LSN-ordering guarantee,
+    so a safe tombstone watermark must come from the upstream (call
+    ``vacuum_tombstones`` explicitly with it)."""
+    applied = {"n": 0}
 
     def apply_batch(batch_df, batch_id: int) -> None:
-        merge_into(
+        res = merge_into(
             table,
             batch_df,
             epoch=f"{epoch_prefix}:{batch_id}",
@@ -67,6 +77,11 @@ def stream_changelog_from(
             source_name=epoch_prefix,
             mode=mode,
         )
+        if maintenance is not None and maintenance.every_epochs and not res.skipped:
+            applied["n"] += 1
+            if applied["n"] >= maintenance.every_epochs:
+                run_maintenance(table, maintenance, watermark_lsn=None)
+                applied["n"] = 0
 
     writer = events.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir
@@ -85,6 +100,7 @@ def stream_changelog(
     trigger_once: bool = False,
     salt_partitions: int | None = None,
     max_files_per_trigger: int | None = None,
+    maintenance: "MaintenancePolicy | None" = None,
 ) -> StreamingQuery:
     """Tail ``changelog_dir`` (parquet files) and MERGE each micro-batch."""
     reader = spark.readStream.schema(schema or CHANGELOG_SCHEMA)
@@ -94,4 +110,5 @@ def stream_changelog(
     return stream_changelog_from(
         stream, table, checkpoint_dir,
         trigger_once=trigger_once, salt_partitions=salt_partitions,
+        maintenance=maintenance,
     )

@@ -264,3 +264,39 @@ def test_key_counts_track_resolved_rows_through_lifecycle(spark, tmp_path):
     assert tbl.key_counts() == {
         int(b): int(c) for b, c in tbl.manifest()["row_counts"].items()
     }
+
+
+def test_auto_maintenance_bounds_file_counts(spark, tmp_path):
+    """Endurance-shaped (scaled down): a sustained mor replay with a
+    MaintenancePolicy and NO manual maintenance calls keeps per-bucket file
+    counts bounded by max_files_per_bucket + every_epochs, vacuums
+    tombstones behind the applied watermark, and stays bit-exact."""
+    from standardized_omop_data_etl_spark.plans.maintenance import MaintenancePolicy
+    from standardized_omop_data_etl_spark.sources.lake import DELETED_COL
+
+    base = base_sequences(spark, 200, seed=5, max_len=16)
+    log = change_log(spark, 2000, 200, seed=5, max_len=16)
+    tbl = _table(spark, tmp_path, base, buckets=4)
+    policy = MaintenancePolicy(
+        every_epochs=2, max_files_per_bucket=2, expire_keep_last=3, vacuum=True
+    )
+    replay_log(tbl, log, num_epochs=10, mode="mor", maintenance=policy)
+
+    files = tbl.manifest()["files"]
+    worst = max(len(fl) for fl in files.values())
+    assert worst <= policy.max_files_per_bucket + policy.every_epochs, files
+    # final sweep ran: the tail of the log was vacuumed with watermark past
+    # max lsn, so no tombstones survive
+    n_tomb = (
+        tbl.read(include_hidden=True, columns=[DELETED_COL])
+        .filter(F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        .count()
+    )
+    assert n_tomb == 0
+    # snapshot GC honored the retention
+    metas = [f for f in (tmp_path / "t" / "metadata").iterdir()
+             if f.name.startswith("v") and f.name.endswith(".json")]
+    assert len(metas) <= policy.expire_keep_last
+    got = canonicalize(tbl.read().toPandas())
+    exp = canonicalize(expected_final_state(base.toPandas(), log.toPandas()))
+    pd.testing.assert_frame_equal(got, exp)

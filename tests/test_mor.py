@@ -195,3 +195,56 @@ def test_mor_salted_matches_plain(spark, tmp_path, fixtures):
     replay_log(salted, log, num_epochs=2, mode="mor", salt_partitions=4)
     assert_same_state(state(salted), state(plain))
     assert_same_state(state(salted), canonicalize(expected_final_state(base_pdf, log_pdf)))
+
+
+def test_resolve_merge_mode_chooser():
+    """Unit: the auto chooser's crossover. cow for bootstrap/backfill-shaped
+    epochs (batch rescales the table), mor once the batch is a small
+    fraction of resident rows; absolute-size fallback when the batch size
+    is unknown."""
+    from standardized_omop_data_etl_spark.plans.merge import (
+        AUTO_MOR_TABLE_ROWS_MIN,
+        resolve_merge_mode,
+    )
+
+    assert resolve_merge_mode(0, 1_000_000) == "cow"          # empty table
+    assert resolve_merge_mode(1_000_000, 1_000_000) == "cow"  # backfill-shaped
+    assert resolve_merge_mode(3_999_999, 1_000_000) == "cow"  # at 4x boundary
+    assert resolve_merge_mode(4_000_001, 1_000_000) == "mor"  # past crossover
+    assert resolve_merge_mode(100_000_000, 1_000) == "mor"    # steady tail
+    assert resolve_merge_mode(AUTO_MOR_TABLE_ROWS_MIN - 1, None) == "cow"
+    assert resolve_merge_mode(AUTO_MOR_TABLE_ROWS_MIN + 1, None) == "mor"
+    # amplification override
+    assert resolve_merge_mode(2_000_000, 1_000_000, amplification=1.5) == "mor"
+
+
+def test_auto_mode_replay_matches_oracle_and_picks_modes(spark, tmp_path, fixtures, monkeypatch):
+    """End-to-end mode="auto": with the amplification threshold forced low,
+    later epochs (small batch vs grown table) must commit as merge-mor while
+    a table-rescaling epoch commits as cow — and the final state is
+    bit-exact vs the oracle either way."""
+    import standardized_omop_data_etl_spark.plans.merge as M
+
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "tauto")
+    # N_DOCS=300 resident rows; epochs of ~N_EVENTS/6=200 LSNs: ratio 1.5
+    monkeypatch.setattr(M, "AUTO_MOR_REWRITE_AMPLIFICATION", 1.2)
+    replay_log(tbl, log, num_epochs=6, mode="auto")
+    ops = [
+        tbl.manifest(v)["summary"].get("operation")
+        for v in range(2, tbl.current_version() + 1)
+    ]
+    assert "merge-mor" in ops, ops
+    assert_same_state(state(tbl), canonicalize(expected_final_state(base_pdf, log_pdf)))
+
+    # a batch that rescales the table resolves to cow even mid-stream
+    fresh = (
+        base.select(
+            F.concat(F.lit("bulk-"), F.col("doc_id")).alias("doc_id"),
+            "tokens", "n_tok", "source",
+        )
+        .withColumn("lsn", F.monotonically_increasing_id() + 50_000_000)
+        .withColumn("op", F.lit("insert"))
+    )
+    r = merge_into(tbl, fresh, epoch="bulk", mode="auto", batch_rows_est=N_DOCS * 10)
+    assert tbl.manifest(r.version)["summary"]["operation"] == "merge"
