@@ -36,6 +36,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — driver-side, O(files),
+    zero Spark jobs. This is the 'manifest count' that feeds adaptive
+    blocking: at corpus scale it comes from the lake manifest / catalog
+    stats; a ``df.count()`` here would be an extra full-table job per query
+    (round-3 verdict, wrong #2)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 # ---------------------------------------------------------------------------
 # Flagship: CDC LWW final-state (A4/W1 kernel — the engine's MERGE resolution
 # expressed as one query: latest event per key wins; latest=delete drops).
@@ -351,9 +369,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # simhash_adaptive_blocks): at sf-test scale it returns the full
         # 13-block pigeonhole split; at corpus scale it widens blocks so the
         # skew cap stops silently zeroing recall (round-2 hazard #2).
+        # n_docs comes from parquet footers (no count job).
         docs = _t(spark, sf, "documents")
         cand = DD.simhash_duplicates(
-            docs, "text", "doc_id", max_distance=12, n_docs=docs.count()
+            docs, "text", "doc_id", max_distance=12, n_docs=_parquet_rows(sf, "documents")
         )
         return DD.ngram_jaccard_pairs(
             docs, "text", "doc_id", k=3, threshold=0.8, candidates=cand.select("id_a", "id_b")
@@ -366,7 +385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # non-zero and the hash check would fail (the non-zero detection path
         # is exercised by tests/test_operators.py::test_hot_bucket_drop_stats).
         docs = _t(spark, sf, "documents")
-        n = docs.count()
+        n = _parquet_rows(sf, "documents")
         _, mh = DD.minhash_lsh_with_stats(docs, "text", "doc_id", num_hashes=16, bands=8)
         _, sh = DD.simhash_with_stats(docs, "text", "doc_id", max_distance=12, n_docs=n)
         return (

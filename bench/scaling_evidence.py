@@ -30,6 +30,10 @@ def make_zip() -> None:
     subprocess.run(
         ["zip", "-qr", ZIP, "standardized_omop_data_etl_spark"], cwd=REPO, check=True
     )
+    # per-PID zips would otherwise accumulate in /tmp across campaign runs
+    import atexit
+
+    atexit.register(lambda: os.path.exists(ZIP) and os.remove(ZIP))
 
 
 def wait_quiet(load_max: float, max_wait_sec: float = 900.0) -> float:

@@ -9,7 +9,10 @@ Iceberg sink:
   the current snapshot through an atomically-replaced ``metadata/_current``
   pointer. Old snapshots stay readable (time travel).
 * **key bucketing** — data files are laid out by
-  ``bucket = pmod(xxhash64(key), num_buckets)``. A MERGE touches only the
+  ``bucket = pmod(hash(key), num_buckets)`` where ``hash`` is Spark's
+  Murmur3 shuffle hash (``bucket_expr``/``BUCKET_FN`` — deliberately NOT
+  xxhash64: the bucket function must equal the shuffle hash for the
+  bucket-aligned-exchange property below). A MERGE touches only the
   buckets its batch hashes into; untouched buckets carry their existing files
   forward by reference. This is the property that keeps a micro-batch MERGE
   proportional to the *batch*, not the 100 TB table.
