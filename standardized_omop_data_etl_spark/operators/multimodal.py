@@ -3,9 +3,11 @@
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct. The Spark-side machinery — schema, partition sizing,
 Arrow-batched UDF signatures, frame-sampling fan-out — is real and tested;
-the actual codec step is stubbed (image/audio libraries are not available in
-this environment) behind ``_decode_stub``, clearly marked, so swapping in
-PIL/ffmpeg is a one-function change.
+the codec step is import-guarded (``_pick_decoder``): the real PIL image
+path when the library is importable on the executor, else the clearly
+marked deterministic ``_decode_stub`` (this environment ships no
+PIL/ffmpeg). Audio/video decode remains stub-only — wiring
+torchaudio/ffmpeg follows the same one-function pattern.
 
 Scale notes: payload rows are large and skew-prone — ``pack_for_batching``
 repartitions by a payload-size-aware key so Arrow batches stay bounded;
@@ -52,21 +54,56 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """STUB: real deployments decode the payload (PIL / torchaudio / ffmpeg)
-    and extract features. Those libraries are not installed in this
-    environment, so this returns a deterministic fake feature vector derived
-    from the payload digest — stable, testable plumbing; NOT a real decoder."""
+    """STUB: returns a deterministic fake feature vector derived from the
+    payload digest — stable, testable plumbing; NOT a real decoder. Used
+    whenever the real codec libraries are absent (see ``_pick_decoder``)."""
     h = hashlib.sha256(payload or b"").digest()
     return [((b / 255.0) * 2.0 - 1.0) for b in h[:16]]
+
+
+def _decode_pil_image(payload: bytes, kind: str) -> list[float]:
+    """Real image path (import-guarded; only selected when PIL is present):
+    decode the payload, downsample to a 4×4 grayscale grid, and emit the 16
+    pixel intensities scaled to [-1, 1] — same shape/range contract as the
+    stub, so downstream schema and tests are identical. Non-image kinds and
+    undecodable payloads fall back to the stub (a corrupt record must not
+    kill the Arrow batch)."""
+    if kind != "image" or not payload:
+        return _decode_stub(payload, kind)
+    import io
+
+    from PIL import Image  # resolved only on executors that selected it
+
+    try:
+        with Image.open(io.BytesIO(payload)) as img:
+            g = img.convert("L").resize((4, 4))
+            return [((px / 255.0) * 2.0 - 1.0) for px in g.getdata()]
+    except Exception:
+        return _decode_stub(payload, kind)
+
+
+def _pick_decoder():
+    """Import-guarded codec selection, evaluated on the EXECUTOR (inside the
+    Arrow UDF) so a heterogeneous cluster image doesn't break planning:
+    PIL when importable, the deterministic stub otherwise."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return _decode_pil_image
+    except ImportError:
+        return _decode_stub
 
 
 def decode_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     """Feature extraction over binary media via mapInPandas (Arrow batches).
 
     The UDF body is vectorized per batch; only the codec call is per-record
-    (inherent — codecs are per-payload)."""
+    (inherent — codecs are per-payload). The codec itself is import-guarded:
+    the real PIL image path when the library exists, the deterministic stub
+    otherwise (this sandbox has no PIL/ffmpeg)."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pick_decoder()  # once per task, not per record
         for pdf in batches:
             out = pd.DataFrame(
                 {
@@ -77,7 +114,7 @@ def decode_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
                         lambda p: hashlib.sha256(p or b"").hexdigest()
                     ),
                     "features": [
-                        _decode_stub(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
+                        decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])
                     ],
                 }
             )

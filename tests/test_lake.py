@@ -155,3 +155,47 @@ def test_diff_schema_rename_detection():
     s, ch = diff_schema(t, renamed)
     assert [c["action"] for c in ch] == ["add_column"]
     assert [f.name for f in s.fields] == ["k", "score", "rating"]
+
+
+def test_decode_codec_selection_and_fallback(spark):
+    """Import-guarded codec: _pick_decoder selects the real PIL path when the
+    library exists and the deterministic stub otherwise; decode_features
+    works end-to-end either way with the same schema/shape contract, and a
+    corrupt payload degrades to the stub instead of killing the batch."""
+    from standardized_omop_data_etl_spark.operators.multimodal import (
+        _decode_pil_image,
+        _decode_stub,
+        _pick_decoder,
+        synthetic_media,
+    )
+
+    try:
+        import PIL.Image as _pil  # noqa: N813
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    picked = _pick_decoder()
+    assert picked is (_decode_pil_image if has_pil else _decode_stub)
+
+    feats = decode_features(synthetic_media(spark, 12)).toPandas()
+    assert len(feats) == 12
+    assert all(len(v) == 16 for v in feats["features"])
+    assert all(-1.0 <= x <= 1.0 for v in feats["features"] for x in v)
+
+    if has_pil:
+        # feature parity on a real image: 4x4 grayscale grid, scaled [-1,1]
+        import io
+
+        img = _pil.new("L", (8, 8), color=128)
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        got = _decode_pil_image(buf.getvalue(), "image")
+        assert len(got) == 16 and all(abs(x - (128 / 255 * 2 - 1)) < 1e-6 for x in got)
+        # corrupt image payload: falls back to the stub, never raises
+        assert _decode_pil_image(b"not-an-image", "image") == _decode_stub(
+            b"not-an-image", "image"
+        )
+        # non-image kinds bypass PIL entirely
+        assert _decode_pil_image(b"\x01\x02", "audio") == _decode_stub(b"\x01\x02", "audio")

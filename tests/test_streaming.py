@@ -222,3 +222,87 @@ def test_rate_source_json_changelog_end_to_end(spark, tmp_path):
     assert len(got) == applied[-1] + 1
     by_id = {r["doc_id"]: r["n"] for r in got}
     assert by_id["doc-0"] == 0 and by_id[f"doc-{applied[-1]}"] == applied[-1] * 2
+
+
+@pytest.mark.timeout(300)
+def test_socket_source_through_kafka_wiring(spark, tmp_path):
+    """Brokerless stand-in for the Kafka path: stream_changelog_kafka with
+    source_format='socket' consumes one JSON envelope per line from a live
+    TCP server — same value-column shape a Kafka topic delivers — through
+    parse_json_changelog and the MERGE sink. Covers inserts, updates, a
+    delete, and dead-letter lines (broken JSON / unknown op) arriving
+    interleaved on the wire."""
+    import json as _json
+    import socket
+    import threading
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from standardized_omop_data_etl_spark.streaming.changelog import (
+        stream_changelog_kafka,
+    )
+
+    payload = T.StructType(
+        [T.StructField("doc_id", T.StringType()), T.StructField("n", T.LongType())]
+    )
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "sock_tbl"), schema=payload, key_col="doc_id",
+        num_buckets=4, overwrite=True,
+    )
+
+    def env(op, lsn, doc, n=None):
+        body = {"doc_id": doc, "n": n}
+        return _json.dumps(
+            {
+                "op": op,
+                "ts_ms": lsn * 10,
+                "source": {"lsn": lsn},
+                "before": body if op == "d" else None,
+                "after": None if op == "d" else body,
+            }
+        )
+
+    lines = [env("c", i, f"doc-{i % 10}", i) for i in range(20)]  # 2 rounds
+    lines.insert(7, "this is not json")               # dead letter: parse fail
+    lines.insert(13, env("zz", 55, "doc-3", 3))        # dead letter: unknown op
+    lines.append(env("d", 100, "doc-0"))               # tombstone doc-0
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(("\n".join(lines) + "\n").encode())
+        stop.wait(180)  # keep the connection open until the test is done
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    q = stream_changelog_kafka(
+        spark, tbl, str(tmp_path / "sock_ckpt"),
+        bootstrap_servers="", topic="t0", payload_schema=payload,
+        source_format="socket", host="127.0.0.1", port=str(port),
+    )
+    try:
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            recs = tbl.applied_epochs()
+            if max((int(r.get("last_lsn", -1)) for r in recs.values()), default=-1) >= 100:
+                break
+            _time.sleep(1.0)
+        got = {r["doc_id"]: r["n"] for r in tbl.read().collect()}
+    finally:
+        stop.set()
+        q.stop()
+        srv.close()
+
+    # LWW winners: doc-k keeps n from its second round (lsn 10+k); doc-0 deleted
+    assert got == {f"doc-{k}": 10 + k for k in range(1, 10)}, got
+    # dead-letter lines (lsn 55 unknown-op) never merged: doc-3 kept its winner
+    assert got["doc-3"] == 13
