@@ -307,6 +307,58 @@ def _lww_winners(
     return src
 
 
+def _reduce_cow_stats(
+    stats,
+    prev_counts: dict[int, int],
+    prev_keys: dict[int, int],
+) -> tuple[
+    dict[int, dict[str, int]], dict[str, int], int, list[int],
+    dict[int, int], dict[int, int], int, int,
+]:
+    """Driver-side O(buckets) reduction of the probe's per-bucket stats rows
+    into (per_bucket, totals, last_lsn, changed, new_counts, new_keys,
+    n_replaced, n_applied). Pure dict arithmetic over one short row per
+    TOUCHED bucket — measured well under a second at 64k buckets
+    (tests/test_replay.py::test_bucket_stats_loop_scales), so this stays a
+    plain loop; were bucket counts to grow past ~10^6 per epoch the whole
+    reduction belongs in the Spark agg as a map_agg, not here."""
+    per_bucket: dict[int, dict[str, int]] = {}
+    totals = {k: 0 for k in (*_ACTIONS, "events_seen")}
+    last_lsn = -1
+    changed: list[int] = []
+    new_counts: dict[int, int] = {}
+    new_keys: dict[int, int] = {}
+    for r in stats:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        b = int(d.pop("_bucket"))
+        last_lsn = max(last_lsn, int(d.pop("max_lsn")))
+        pb = {k: int(v) for k, v in d.items()}
+        pb["writes"] = sum(pb[k] for k in _ACTIONS if k != "stale")
+        # visible rows carried through unmodified
+        pb["kept"] = max(prev_counts.get(b, 0) - pb["updates"] - pb["deletes"], 0)
+        per_bucket[b] = pb
+        for k in totals:
+            totals[k] += pb[k]
+        if pb["writes"] > 0:
+            changed.append(b)
+            new_counts[b] = (
+                prev_counts.get(b, 0) + pb["inserts"] + pb["revives"] - pb["deletes"]
+            )
+            # only brand-new keys change the distinct-key count; every other
+            # action replaces (or appends a newer version of) an existing
+            # key's row
+            new_keys[b] = prev_keys.get(b, 0) + pb["inserts"] + pb["tombstone_inserts"]
+    changed.sort()
+    # keys whose existing target row (live or tombstone) is displaced
+    n_replaced = sum(
+        per_bucket[b]["updates"] + per_bucket[b]["deletes"]
+        + per_bucket[b]["revives"] + per_bucket[b]["redeletes"]
+        for b in changed
+    )
+    n_applied = sum(per_bucket[b]["writes"] for b in changed)
+    return per_bucket, totals, last_lsn, changed, new_counts, new_keys, n_replaced, n_applied
+
+
 def _merge_into_locked(
     table: LakeTable,
     batch: DataFrame,
@@ -468,44 +520,10 @@ def _merge_into_locked(
         )
         mark("probe+stats")
 
-        per_bucket: dict[int, dict[str, int]] = {}
-        totals = {k: 0 for k in (*_ACTIONS, "events_seen")}
-        last_lsn = -1
-        changed: list[int] = []
-        new_counts: dict[int, int] = {}
-        new_keys: dict[int, int] = {}
-        for r in stats:
-            d = r.asDict()
-            b = int(d.pop("_bucket"))
-            last_lsn = max(last_lsn, int(d.pop("max_lsn")))
-            pb = {k: int(v) for k, v in d.items()}
-            pb["writes"] = sum(pb[k] for k in _ACTIONS if k != "stale")
-            # visible rows carried through unmodified
-            pb["kept"] = max(
-                prev_counts.get(b, 0) - pb["updates"] - pb["deletes"], 0
-            )
-            per_bucket[b] = pb
-            for k in totals:
-                totals[k] += pb[k]
-            if pb["writes"] > 0:
-                changed.append(b)
-                new_counts[b] = (
-                    prev_counts.get(b, 0) + pb["inserts"] + pb["revives"] - pb["deletes"]
-                )
-                # only brand-new keys change the distinct-key count; every
-                # other action replaces (or appends a newer version of) an
-                # existing key's row
-                new_keys[b] = (
-                    prev_keys.get(b, 0) + pb["inserts"] + pb["tombstone_inserts"]
-                )
-        changed.sort()
-        # keys whose existing target row (live or tombstone) is displaced
-        n_replaced = sum(
-            per_bucket[b]["updates"] + per_bucket[b]["deletes"]
-            + per_bucket[b]["revives"] + per_bucket[b]["redeletes"]
-            for b in changed
-        )
-        n_applied = sum(per_bucket[b]["writes"] for b in changed)
+        (
+            per_bucket, totals, last_lsn, changed,
+            new_counts, new_keys, n_replaced, n_applied,
+        ) = _reduce_cow_stats(stats, prev_counts, prev_keys)
         metrics = {
             **totals,
             "events_applied": (
