@@ -634,10 +634,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", F.col(LSN_COL).alias("last_lsn"), "event_type", "value"
         )
 
+    def q_cdc_change_feed(spark, sf):
+        # incremental change-data-feed (plans/change_feed.py): the events log
+        # applied as two MERGE epochs (odd lsns, then even); the feed between
+        # the two snapshots must equal a SQL state-diff — keys whose LWW
+        # winner changed in epoch 2, classified insert/update/delete, with
+        # the after-image payload and the change LSN.
+        from standardized_omop_data_etl_spark.plans.change_feed import (
+            CHANGE_LSN_COL,
+            CHANGE_OP_COL,
+            read_changes,
+        )
+        from standardized_omop_data_etl_spark.plans.merge import merge_into
+        from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+        ev = _t(spark, sf, "events")
+        batch = ev.select(
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        payload = batch.drop("lsn", "op").schema
+        tbl = LakeTable.create(
+            spark, "/tmp/q_cdc_feed_tbl", schema=payload, key_col="user_id",
+            num_buckets=8, overwrite=True,
+        )
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 1), epoch="odd")
+        v1 = tbl.current_version()
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 0), epoch="even")
+        return read_changes(tbl, v1, tbl.current_version()).select(
+            F.col(CHANGE_OP_COL).alias("change_op"),
+            "user_id",
+            "event_type",
+            "value",
+            F.col(CHANGE_LSN_COL).alias("change_lsn"),
+        )
+
     return {
         "cdc_lww_state": q_cdc_lww_state,
         "cdc_lww_narrow": q_cdc_lww_narrow,
         "cdc_mor_state": q_cdc_mor_state,
+        "cdc_change_feed": q_cdc_change_feed,
         "priority_dedup": q_priority_dedup,
         "minmax_periods": q_minmax_periods,
         "anti_join_delete": q_anti_join_delete,
@@ -713,6 +754,28 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id AS last_lsn, event_type, value
             FROM w WHERE rn = 1
+        """,
+        "cdc_change_feed": """
+            WITH w1 AS (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events WHERE event_id % 2 = 1),
+            s1 AS (
+              SELECT user_id, event_id AS lsn, (event_type = 'error') AS dead
+              FROM w1 WHERE rn = 1),
+            w2 AS (
+              SELECT user_id, event_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events),
+            s2 AS (SELECT * FROM w2 WHERE rn = 1)
+            SELECT CASE WHEN s2.event_type = 'error' THEN 'delete'
+                        WHEN s1.user_id IS NULL OR s1.dead THEN 'insert'
+                        ELSE 'update' END AS change_op,
+                   s2.user_id, s2.event_type, s2.value,
+                   s2.event_id AS change_lsn
+            FROM s2 LEFT JOIN s1 USING (user_id)
+            WHERE (s1.user_id IS NULL OR s2.event_id > s1.lsn)
+              AND NOT (s2.event_type = 'error' AND (s1.user_id IS NULL OR s1.dead))
         """,
         "priority_dedup": """
             WITH p AS (

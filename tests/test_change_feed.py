@@ -1,0 +1,188 @@
+"""Incremental change-data-feed correctness (plans/change_feed.py).
+
+Invariants:
+* the feed between two snapshots equals a pandas state-diff oracle
+  (op classification, after-image payload, change LSN) — cow and mor,
+* the feed is itself a replayable changelog: applying it to a copy of
+  v_from reproduces v_to's visible state bit-exactly,
+* bucket pruning only scans buckets whose manifest file lists differ,
+* vacuum / rollback inside the range are refused (fidelity guards),
+* from==to is an empty frame with the contract schema.
+"""
+
+import pandas as pd
+import pytest
+
+from standardized_omop_data_etl_spark.plans.change_feed import (
+    CHANGE_LSN_COL,
+    CHANGE_OP_COL,
+    ChangeFeedUnavailableError,
+    changed_buckets,
+    read_changes,
+)
+from standardized_omop_data_etl_spark.plans.maintenance import vacuum_tombstones
+from standardized_omop_data_etl_spark.plans.merge import merge_into
+from standardized_omop_data_etl_spark.plans.replay import replay_log
+from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+from standardized_omop_data_etl_spark.sources.oracle import canonicalize
+
+N_DOCS = 250
+N_EVENTS = 1000
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    base = base_sequences(spark, N_DOCS, seed=7, max_len=48)
+    log = change_log(spark, N_EVENTS, N_DOCS, seed=7, max_len=48)
+    return base, log, base.toPandas(), log.toPandas()
+
+
+def make_table(spark, tmp_path, base, name="t", num_buckets=8):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / name), schema=base.schema,
+        key_col="doc_id", num_buckets=num_buckets, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    return tbl
+
+
+def _state(base_pdf, log_pdf, upto_lsn):
+    """key -> (lsn, deleted, payload dict) after events with lsn < upto_lsn."""
+    payload_cols = [c for c in log_pdf.columns if c not in ("lsn", "op")]
+    st = {
+        r["doc_id"]: (0, False, {c: r.get(c) for c in payload_cols})
+        for _, r in base_pdf.iterrows()
+    }
+    ev = log_pdf[log_pdf["lsn"] < upto_lsn].sort_values("lsn", kind="mergesort")
+    for _, r in ev.iterrows():
+        st[r["doc_id"]] = (
+            int(r["lsn"]), r["op"] == "delete", {c: r.get(c) for c in payload_cols}
+        )
+    return st
+
+
+def expected_feed(base_pdf, log_pdf, lo_lsn, hi_lsn):
+    """Pandas oracle: visible-state diff between 'events < lo applied' and
+    'events <= hi applied', classified insert/update/delete."""
+    s_before = _state(base_pdf, log_pdf, lo_lsn)
+    s_after = _state(base_pdf, log_pdf, hi_lsn + 1)
+    rows = []
+    for k, (lsn_a, dead_a, pay_a) in s_after.items():
+        b = s_before.get(k)
+        if b is not None and lsn_a <= b[0]:
+            continue
+        live_b = b is not None and not b[1]
+        if dead_a and not live_b:
+            continue
+        op = "delete" if dead_a else ("update" if live_b else "insert")
+        rows.append({CHANGE_OP_COL: op, **pay_a, CHANGE_LSN_COL: lsn_a})
+    payload_cols = [c for c in log_pdf.columns if c not in ("lsn", "op")]
+    return pd.DataFrame(rows, columns=[CHANGE_OP_COL, *payload_cols, CHANGE_LSN_COL])
+
+
+def assert_feed_equals(feed_df, expected_pdf):
+    got = canonicalize(feed_df.toPandas())
+    exp = canonicalize(expected_pdf)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"feed rows {len(got)} != {len(exp)}"
+    for col in exp.columns:
+        mism = [
+            (i, a, b)
+            for i, (a, b) in enumerate(zip(got[col], exp[col]))
+            if a != b and not (a is None and b is None)
+            and not (a != a and b != b)  # NaN == NaN for float payloads
+        ]
+        assert not mism, f"column {col}: first mismatches {mism[:3]}"
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_feed_matches_state_diff_oracle(spark, tmp_path, fixtures, mode):
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, f"feed_{mode}")
+    v0 = tbl.current_version()
+    results = replay_log(tbl, log, num_epochs=2, mode=mode)
+    v1, v2 = results[0].version, results[1].version
+    mid = N_EVENTS // 2  # epoch split: [0, mid), [mid, N)
+    assert_feed_equals(
+        read_changes(tbl, v1, v2), expected_feed(base_pdf, log_pdf, mid, N_EVENTS)
+    )
+    # full-range feed from the bootstrap snapshot
+    assert_feed_equals(
+        read_changes(tbl, v0, v2), expected_feed(base_pdf, log_pdf, 0, N_EVENTS)
+    )
+
+
+def test_feed_is_replayable_changelog(spark, tmp_path, fixtures):
+    """merge_into(copy_of_v_from, feed) == v_to visible state, bit-exact."""
+    import pyspark.sql.functions as F
+
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_src")
+    v0 = tbl.current_version()
+    replay_log(tbl, log, num_epochs=3)
+    feed = read_changes(tbl, v0, tbl.current_version())
+    clone = make_table(spark, tmp_path, base, "feed_clone")
+    batch = feed.select(
+        F.col(CHANGE_LSN_COL).alias("lsn"),
+        F.when(F.col(CHANGE_OP_COL) == "delete", "delete")
+        .otherwise("upsert")
+        .alias("op"),
+        *[c for c in feed.columns if c not in (CHANGE_OP_COL, CHANGE_LSN_COL)],
+    )
+    merge_into(clone, batch, epoch="feed-replay")
+    pd.testing.assert_frame_equal(
+        canonicalize(clone.read().toPandas()), canonicalize(tbl.read().toPandas())
+    )
+
+
+def test_bucket_pruning_and_small_epoch(spark, tmp_path, fixtures):
+    """A tiny epoch touching few keys: changed_buckets is a strict subset and
+    the pruned feed still matches the oracle."""
+    import pyspark.sql.functions as F
+
+    base, log, base_pdf, log_pdf = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_prune", num_buckets=32)
+    v0 = tbl.current_version()
+    small = log.filter(F.col("lsn") < 12)
+    merge_into(tbl, small, epoch="small")
+    v1 = tbl.current_version()
+    cb = changed_buckets(tbl.manifest(v0), tbl.manifest(v1))
+    assert cb is not None and 0 < len(cb) < 32
+    assert_feed_equals(
+        read_changes(tbl, v0, v1),
+        expected_feed(base_pdf, log_pdf[log_pdf["lsn"] < 12], 0, 11),
+    )
+
+
+def test_guards_and_empty_range(spark, tmp_path, fixtures):
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_guard")
+    v0 = tbl.current_version()
+    replay_log(tbl, log, num_epochs=1)
+    v1 = tbl.current_version()
+
+    # from == to: empty frame with the contract schema
+    empty = read_changes(tbl, v1, v1)
+    assert empty.count() == 0
+    assert empty.columns[0] == CHANGE_OP_COL and empty.columns[-1] == CHANGE_LSN_COL
+
+    # vacuum inside the range: refused, then readable with allow_gc
+    vacuum_tombstones(tbl, watermark_lsn=N_EVENTS + 1)
+    v2 = tbl.current_version()
+    if v2 > v1:  # vacuum only commits when it removed something
+        with pytest.raises(ChangeFeedUnavailableError, match="vacuum"):
+            read_changes(tbl, v0, v2)
+        read_changes(tbl, v0, v2, allow_gc=True).count()  # opt-in works
+        # range ending BEFORE the vacuum stays fully readable
+        read_changes(tbl, v0, v1).count()
+
+    # rollback inside the range: refused (probe a range holding ONLY the
+    # rollback commit, so the walk can't trip on the earlier vacuum first)
+    pre_rollback = tbl.current_version()
+    tbl.rollback(v1)
+    with pytest.raises(ChangeFeedUnavailableError, match="rollback"):
+        read_changes(tbl, pre_rollback, tbl.current_version())
+
+    with pytest.raises(ValueError):
+        read_changes(tbl, v1, v0)
