@@ -42,6 +42,7 @@ diff itself is key-based and stays correct).
 
 from __future__ import annotations
 
+import json
 from typing import Any
 
 import pyspark.sql.functions as F
@@ -178,3 +179,75 @@ def read_changes(
             F.col(LSN_COL).alias(CHANGE_LSN_COL),
         )
     )
+
+
+CONSUMERS_DIR = "_consumers"
+
+
+class ChangeFeedConsumer:
+    """Durable change-feed consumer with committed offsets — the Kafka
+    consumer-group analogue for the lake table, mirroring the ingest side's
+    exactly-once design on the consume side.
+
+    The offset (last PROCESSED snapshot version) lives in one tiny JSON per
+    consumer name under ``<table>/_consumers/``, written through the table's
+    ``FileSystem`` (so it works unchanged on the object-store adapter), and
+    advanced with a compare-and-swap (``replace_if_equals``): two processes
+    sharing a consumer name cannot silently double-advance — the loser's
+    commit returns False and it re-polls from the winner's position.
+
+    Delivery contract: ``poll()`` → process → ``commit(head)`` is
+    at-least-once; a crash between process and commit redelivers the same
+    version range. Downstream sinks make it exactly-once the same way the
+    ingest side does — an idempotent apply keyed on the range (e.g.
+    ``merge_into(sink, batch, epoch=f"{name}:{pos}-{head}")``).
+
+    A consumer lagging past ``expire_snapshots``' retention loses its
+    from-manifest and raises ``ChangeFeedUnavailableError`` — size snapshot
+    retention to the slowest consumer, exactly as with Kafka log retention.
+    """
+
+    def __init__(self, table: LakeTable, name: str, start_version: int | None = None):
+        self.table = table
+        self.name = name
+        self.fs = table.fs
+        self._path = self.fs.join(table.path, CONSUMERS_DIR, f"{name}.json")
+        if not self.fs.exists(self._path):
+            pos = table.current_version() if start_version is None else start_version
+            self.fs.makedirs(self.fs.join(table.path, CONSUMERS_DIR))
+            # create_exclusive: two racing initializers agree on one start
+            self.fs.create_exclusive(self._path, self._payload(pos))
+
+    def _payload(self, position: int) -> str:
+        return json.dumps({"name": self.name, "position": int(position)})
+
+    def position(self) -> int:
+        return int(json.loads(self.fs.read_text(self._path))["position"])
+
+    def poll(self, allow_gc: bool = False):
+        """(feed DataFrame, head_version) for everything committed past this
+        consumer's position, or None when caught up. Does NOT advance the
+        offset — call ``commit(head_version)`` after processing."""
+        pos = self.position()
+        head = self.table.current_version()
+        if head <= pos:
+            return None
+        try:
+            feed = read_changes(self.table, pos, head, allow_gc=allow_gc)
+        except FileNotFoundError as e:
+            raise ChangeFeedUnavailableError(
+                f"consumer '{self.name}' position v{pos} predates snapshot "
+                "retention (expire_snapshots GC'd its manifest); reset the "
+                "consumer or widen retention."
+            ) from e
+        return feed, head
+
+    def commit(self, head_version: int) -> bool:
+        """CAS-advance the offset from the position ``poll`` was served at.
+        False = another process advanced first; re-poll and reprocess."""
+        pos = self.position()
+        if head_version <= pos:
+            return False
+        return self.fs.replace_if_equals(
+            self._path, self._payload(pos), self._payload(head_version)
+        )

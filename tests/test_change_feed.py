@@ -186,3 +186,67 @@ def test_guards_and_empty_range(spark, tmp_path, fixtures):
 
     with pytest.raises(ValueError):
         read_changes(tbl, v1, v0)
+
+
+def test_consumer_polls_partition_the_feed(spark, tmp_path, fixtures):
+    """Poll→process→commit across three merges delivers every change exactly
+    once (union of polled feeds == the full-range feed); a restarted consumer
+    resumes from the committed offset; an uncommitted poll redelivers."""
+    import pyspark.sql.functions as F
+
+    from standardized_omop_data_etl_spark.plans.change_feed import ChangeFeedConsumer
+
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_consumer")
+    v0 = tbl.current_version()
+    c = ChangeFeedConsumer(tbl, "sink-a", start_version=v0)
+    assert c.poll() is None  # caught up at creation
+
+    polled = []
+    for i, lo in enumerate(range(0, N_EVENTS, N_EVENTS // 3 + 1)):
+        hi = min(lo + N_EVENTS // 3 + 1, N_EVENTS)
+        merge_into(
+            tbl, log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)), epoch=f"e{i}"
+        )
+        got = c.poll()
+        assert got is not None
+        feed, head = got
+        # uncommitted re-poll redelivers the same range
+        feed2, head2 = c.poll()
+        assert head2 == head and feed2.count() == feed.count()
+        polled.append(feed.toPandas())
+        assert c.commit(head)
+        assert not c.commit(head)  # double-commit is a no-op
+
+    # a fresh consumer object resumes from the durable offset
+    c2 = ChangeFeedConsumer(tbl, "sink-a", start_version=0)  # start ignored: exists
+    assert c2.position() == tbl.current_version() and c2.poll() is None
+
+    full = read_changes(tbl, v0, tbl.current_version()).toPandas()
+    union = pd.concat(polled, ignore_index=True)
+    # a key may be re-reported across polls (insert then update), and the
+    # per-poll op is classified against that poll's base state — but the
+    # LAST polled change per key must carry the same winning LSN as the
+    # full-range feed (nothing lost, nothing delivered past the winner).
+    last = (
+        union.sort_values(CHANGE_LSN_COL, kind="mergesort")
+        .groupby("doc_id", as_index=False)
+        .tail(1)
+    )
+    merged = last.merge(full, on="doc_id", suffixes=("_got", "_full"), how="right")
+    # final-delete keys: a later redelete only refreshes the tombstone LSN
+    # (no visible delta), so polls legitimately report the FIRST delete —
+    # the op must match, the LSN may be ≤ the full-range (final) tombstone's.
+    dead = merged[f"{CHANGE_OP_COL}_full"] == "delete"
+    assert (merged.loc[dead, f"{CHANGE_OP_COL}_got"] == "delete").all()
+    assert (
+        merged.loc[dead, f"{CHANGE_LSN_COL}_got"]
+        <= merged.loc[dead, f"{CHANGE_LSN_COL}_full"]
+    ).all()
+    live = ~dead
+    assert (
+        merged.loc[live, f"{CHANGE_LSN_COL}_got"]
+        == merged.loc[live, f"{CHANGE_LSN_COL}_full"]
+    ).all()
+    # and no (key, lsn) change is delivered twice across committed polls
+    assert not union.duplicated(subset=["doc_id", CHANGE_LSN_COL]).any()
