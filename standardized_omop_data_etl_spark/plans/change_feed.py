@@ -85,8 +85,10 @@ def _guard_linear_history(
             raise ChangeFeedUnavailableError(
                 f"vacuum_tombstones at version {v} is inside the requested range "
                 f"({from_version}, {to_version}]: deletes below its watermark are "
-                "no longer observable. Pass allow_gc=True to read the feed anyway "
-                "(GC'd deletes will be silently missing)."
+                "no longer observable from tombstones. Pass allow_gc=True to read "
+                "the feed anyway — the diff switches to a full-outer join and "
+                "physically removed rows surface as synthesized deletes (null "
+                "payload, LSN = before-watermark + 1)."
             )
         if op == "rollback":
             raise ChangeFeedUnavailableError(
@@ -156,16 +158,23 @@ def read_changes(
         if before_est <= BROADCAST_KEYS_MAX
         else before.hint("shuffle_hash")
     )
-    j = after.join(before_side, on=key, how="left")
+    # Linear history: every before-row still exists at v_to (live, tombstoned
+    # or rewritten), so a LEFT join suffices. Under allow_gc the range may
+    # contain a vacuum that physically removed rows — a FULL join lets the
+    # before-only side surface those as synthesized deletes.
+    j = after.join(before_side, on=key, how="full" if allow_gc else "left")
 
+    a_missing = F.col(LSN_COL).isNull()  # possible only under the full join
     b_missing = F.col("_b_lsn").isNull()
-    newer = b_missing | (F.col(LSN_COL) > F.col("_b_lsn"))
+    newer = b_missing | a_missing | (F.col(LSN_COL) > F.col("_b_lsn"))
     b_dead = F.coalesce(F.col("_b_del"), F.lit(False))
     a_dead = F.coalesce(F.col(DELETED_COL), F.lit(False))
     # visible-state delta classification; tombstone→tombstone refreshes and
     # guard tombstones on never-live keys have no visible delta → dropped.
     op = (
-        F.when(a_dead & ~b_missing & ~b_dead, F.lit("delete"))
+        F.when(a_missing & ~b_dead, F.lit("delete"))  # row GC'd since v_from
+        .when(a_missing, F.lit(None).cast("string"))
+        .when(a_dead & ~b_missing & ~b_dead, F.lit("delete"))
         .when(~a_dead & (b_missing | b_dead), F.lit("insert"))
         .when(~a_dead, F.lit("update"))
     )  # else NULL → filtered
@@ -176,7 +185,9 @@ def read_changes(
         .select(
             CHANGE_OP_COL,
             *user_cols,
-            F.col(LSN_COL).alias(CHANGE_LSN_COL),
+            # synthesized deletes have no stored row: stay monotone past the
+            # before-watermark (snapshot_diff's legacy convention)
+            F.coalesce(F.col(LSN_COL), F.col("_b_lsn") + 1).alias(CHANGE_LSN_COL),
         )
     )
 

@@ -1,10 +1,11 @@
 """Lake-table maintenance & CDC-out: snapshot diff and re-bucketing.
 
-``snapshot_diff`` is the engine's change-data-capture *output* surface: any
-two snapshot versions of a LakeTable can be diffed into a change stream
-(insert/update/delete rows), so downstream consumers can incrementally follow
-a table the same way this engine follows its upstream. Iceberg calls this the
-``changes`` incremental read.
+``snapshot_diff`` is the engine's legacy change-data-capture *output*
+surface; since r4 it delegates to the canonical incremental-scan in
+``plans.change_feed`` (``read_changes`` + ``ChangeFeedConsumer``), which adds
+bucket pruning under the MERGE broadcast gate, vacuum/rollback fidelity
+guards, and durable consumer offsets. Iceberg calls this the ``changes``
+incremental read.
 
 ``rebucket`` evolves ``num_buckets`` — the knob that keeps per-bucket data
 bounded as a table grows from GB to 100 TB. One aligned shuffle rewrites the
@@ -69,70 +70,21 @@ def snapshot_diff(
     table: LakeTable, from_version: int, to_version: int
 ) -> DataFrame:
     """Row-level changes between two snapshots as a change-event DataFrame
-    ``(op ∈ insert|update|delete, lsn, <payload...>)``.
-
-    Bucket-pruned: buckets whose file lists are identical in both manifests
-    are skipped entirely — only rewritten buckets are read. Within a changed
-    bucket, rows join on the table key; the per-row ``_lsn`` distinguishes
-    an update (key present in both, lsn advanced) from a carry-over (same
-    lsn, dropped from the diff).
+    ``(op ∈ insert|update|delete, lsn, <payload...>)`` — a thin wrapper over
+    the canonical incremental-scan implementation in ``plans.change_feed``
+    (r4), kept for this surface's legacy column names. Runs with
+    ``allow_gc=True``: a row physically removed inside the range (vacuum)
+    surfaces as a synthesized delete with ``lsn = before-watermark + 1``.
+    Prefer ``read_changes`` / ``ChangeFeedConsumer`` for new consumers —
+    they add fidelity guards and durable offsets.
     """
-    m_from = table.manifest(from_version)
-    m_to = table.manifest(to_version)
-    changed = sorted(
-        int(b)
-        for b in set(m_from["files"]) | set(m_to["files"])
-        if m_from["files"].get(b) != m_to["files"].get(b)
-    )
-    key = table.key_col
-    schema_to = table.schema(to_version)
-    payload_cols = [f.name for f in schema_to.fields]
-    empty = table.read(version=to_version, include_hidden=True).limit(0)
-    if not changed:
-        return empty.select(
-            F.lit(None).cast("string").alias("op"),
-            F.col(LSN_COL).alias("lsn"),
-            *[F.col(c) for c in payload_cols],
-        ).limit(0)
+    from .change_feed import CHANGE_LSN_COL, CHANGE_OP_COL, read_changes
 
-    old = table.read(
-        version=from_version, buckets=changed, include_hidden=True,
-        columns=[key, LSN_COL, DELETED_COL],
-    ).select(
-        F.col(key).alias("_k"),
-        F.col(LSN_COL).alias("_old_lsn"),
-        F.coalesce(F.col(DELETED_COL), F.lit(False)).alias("_old_dead"),
+    d = read_changes(table, from_version, to_version, allow_gc=True)
+    payload = [c for c in d.columns if c not in (CHANGE_OP_COL, CHANGE_LSN_COL)]
+    return d.select(
+        F.col(CHANGE_OP_COL).alias("op"), F.col(CHANGE_LSN_COL).alias("lsn"), *payload
     )
-    new = table.read(version=to_version, buckets=changed, include_hidden=True)
-    joined = new.alias("n").join(old.alias("o"), F.col("n." + key) == F.col("o._k"), "full")
-
-    new_missing = F.col("n." + key).isNull()
-    old_missing = F.col("o._k").isNull()
-    new_dead = ~new_missing & F.coalesce(F.col("n." + DELETED_COL), F.lit(False))
-    old_dead = ~old_missing & F.col("_old_dead")
-    new_live = ~new_missing & ~new_dead
-    old_live = ~old_missing & ~old_dead
-    advanced = (
-        ~new_missing & ~old_missing & (F.col("n." + LSN_COL) != F.col("_old_lsn"))
-    )
-    op = (
-        F.when(new_live & ~old_live, "insert")  # fresh key or revived tombstone
-        .when(new_live & old_live & advanced, "update")
-        .when(old_live & (new_dead | new_missing), "delete")
-    )
-    out_cols = [
-        op.alias("op"),
-        # tombstones carry the true deletion LSN; a row physically vacuumed
-        # between the snapshots (new side missing) falls back to old_lsn+1
-        F.coalesce(F.col("n." + LSN_COL), F.col("_old_lsn") + 1).alias("lsn"),
-    ]
-    for c in payload_cols:
-        if c == key:
-            out_cols.append(F.coalesce(F.col("n." + key), F.col("o._k")).alias(key))
-        else:
-            # deletes carry NULL payload (tombstone payload is already NULL)
-            out_cols.append(F.col("n." + c).alias(c))
-    return joined.filter(op.isNotNull()).select(*out_cols)
 
 
 def rebucket(table: LakeTable, new_num_buckets: int) -> int:

@@ -188,6 +188,33 @@ def test_guards_and_empty_range(spark, tmp_path, fixtures):
         read_changes(tbl, v1, v0)
 
 
+def test_allow_gc_full_join_recovers_vacuumed_deletes(spark, tmp_path, fixtures):
+    """With allow_gc=True the diff runs as a full-outer join: a key whose
+    tombstone was physically vacuumed inside the range still surfaces as a
+    synthesized delete (null payload, lsn = before-watermark + 1)."""
+    import pyspark.sql.functions as F
+
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_gc")
+    v0 = tbl.current_version()
+    replay_log(tbl, log, num_epochs=1)
+    deleted_keys = {
+        r["doc_id"]
+        for r in read_changes(tbl, v0, tbl.current_version())
+        .filter(F.col(CHANGE_OP_COL) == "delete")
+        .select("doc_id")
+        .collect()
+    }
+    assert deleted_keys, "fixture must produce deletes"
+    vacuum_tombstones(tbl, watermark_lsn=N_EVENTS + 1)
+    got = read_changes(tbl, v0, tbl.current_version(), allow_gc=True)
+    got_deleted = {
+        r["doc_id"]
+        for r in got.filter(F.col(CHANGE_OP_COL) == "delete").select("doc_id").collect()
+    }
+    assert got_deleted == deleted_keys
+
+
 def test_consumer_polls_partition_the_feed(spark, tmp_path, fixtures):
     """Poll→process→commit across three merges delivers every change exactly
     once (union of polled feeds == the full-range feed); a restarted consumer
