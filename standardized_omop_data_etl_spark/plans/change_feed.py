@@ -262,3 +262,37 @@ class ChangeFeedConsumer:
         return self.fs.replace_if_equals(
             self._path, self._payload(pos), self._payload(head_version)
         )
+
+
+def mirror_changes(consumer: ChangeFeedConsumer, sink: LakeTable, allow_gc: bool = False):
+    """Drain a consumer into another LakeTable — end-to-end CDC replication
+    (binlog → table A → feed → table B) with exactly-once sink state.
+
+    Each poll applies as ONE idempotent MERGE epoch keyed on the consumer
+    name + version range, then the offset commits. A crash anywhere
+    redelivers the same range into the same epoch key, which the sink's
+    epoch ledger skips — the identical commit-then-stamp contract the ingest
+    side uses, now composed across two tables. The feed's op/LSN columns map
+    straight onto the MERGE changelog contract (delete → delete, everything
+    else → upsert; synthesized GC deletes keep LWW monotone via
+    watermark + 1), so the sink's tombstone/resurrection guards hold on the
+    mirror too. Returns the list of MergeResults (empty when caught up)."""
+    from .merge import merge_into
+
+    results = []
+    while (got := consumer.poll(allow_gc=allow_gc)) is not None:
+        feed, head = got
+        pos = consumer.position()
+        payload = [c for c in feed.columns if c not in (CHANGE_OP_COL, CHANGE_LSN_COL)]
+        batch = feed.select(
+            F.col(CHANGE_LSN_COL).alias("lsn"),
+            F.when(F.col(CHANGE_OP_COL) == "delete", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            *payload,
+        )
+        results.append(
+            merge_into(sink, batch, epoch=f"mirror:{consumer.name}:{pos}-{head}")
+        )
+        consumer.commit(head)
+    return results
