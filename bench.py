@@ -118,6 +118,21 @@ def main() -> None:
         mor_sec = dt if mor_sec is None else min(mor_sec, dt)
         samples.setdefault("cdc_replay_mor", []).append(round(dt, 3))
     timings["cdc_replay_mor"] = round(mor_sec, 3)
+
+    # change-feed extraction (consumer-side cost): full-range incremental
+    # diff of the replayed table — bucket-pruned scan + broadcast probe
+    # (plans/change_feed.py). Uses the mor table left by the loop above
+    # (post-compaction), diffing bootstrap → head.
+    from standardized_omop_data_etl_spark.plans.change_feed import read_changes
+
+    feed_sec = None
+    for _rep in range(2):
+        t0 = time.time()
+        read_changes(tbl, 1, tbl.current_version()).count()
+        dt = time.time() - t0
+        feed_sec = dt if feed_sec is None else min(feed_sec, dt)
+        samples.setdefault("cdc_change_feed", []).append(round(dt, 3))
+    timings["cdc_change_feed"] = round(feed_sec, 3)
     log.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
 

@@ -71,33 +71,56 @@ def changed_buckets(m_from: dict[str, Any], m_to: dict[str, Any]) -> list[int] |
     return sorted(int(b) for b in all_b if m_from["files"].get(b) != m_to["files"].get(b))
 
 
+_BARRIER_REASON = {
+    "vacuum_tombstones": (
+        "deletes below its watermark are no longer observable from "
+        "tombstones. Pass allow_gc=True to read the feed anyway — the diff "
+        "switches to a full-outer join and physically removed rows surface "
+        "as synthesized deletes (null payload, LSN = before-watermark + 1)."
+    ),
+    "rollback": (
+        "LSNs are not monotone across a history rewrite, so an incremental "
+        "diff is not well-defined. Read the feed in two ranges split at the "
+        "rollback, or pass allow_gc=True to diff the endpoint states as-is."
+    ),
+    "overwrite": (
+        "a full overwrite of a non-empty table resets per-row LSNs, so the "
+        "watermark diff is not well-defined across it. Re-bootstrap the "
+        "consumer at the overwrite version (allow_gc=True skips this check, "
+        "but rows whose LSN moved backward are misreported as unchanged)."
+    ),
+}
+
+
+def _raise_barrier(op: str, version: int, from_version: int, to_version: int) -> None:
+    raise ChangeFeedUnavailableError(
+        f"{op} at version {version} is inside the requested range "
+        f"({from_version}, {to_version}]: " + _BARRIER_REASON[op]
+    )
+
+
 def _guard_linear_history(
-    table: LakeTable, from_version: int, to_version: int, allow_gc: bool
+    table: LakeTable, m_to: dict[str, Any], from_version: int, to_version: int,
+    allow_gc: bool,
 ) -> None:
-    """Walk the manifests in (from, to] and refuse ranges whose summaries
-    show delete evidence was GC'd (vacuum) or LSN monotonicity broken
-    (rollback). O(versions) tiny JSON reads, driver-side."""
+    """Refuse ranges containing a feed barrier — tombstone vacuum (delete
+    evidence GC'd), rollback (LSNs non-monotone), or an overwrite of a
+    non-empty table (LSNs reset). O(1): every commit carries the latest
+    barrier's (version, operation) forward in its manifest (``feed_barrier``,
+    sources/lake.py commit), so only the endpoint manifest is consulted.
+    Manifests written before the watermark existed fall back to walking the
+    range — O(versions) tiny JSON reads, driver-side."""
     if allow_gc:
+        return
+    if "feed_barrier" in m_to:
+        fb = m_to["feed_barrier"]
+        if fb is not None and fb["version"] > from_version:
+            _raise_barrier(fb["operation"], fb["version"], from_version, to_version)
         return
     for v in range(from_version + 1, to_version + 1):
         op = table.manifest(v).get("summary", {}).get("operation")
-        if op == "vacuum_tombstones":
-            raise ChangeFeedUnavailableError(
-                f"vacuum_tombstones at version {v} is inside the requested range "
-                f"({from_version}, {to_version}]: deletes below its watermark are "
-                "no longer observable from tombstones. Pass allow_gc=True to read "
-                "the feed anyway — the diff switches to a full-outer join and "
-                "physically removed rows surface as synthesized deletes (null "
-                "payload, LSN = before-watermark + 1)."
-            )
-        if op == "rollback":
-            raise ChangeFeedUnavailableError(
-                f"rollback at version {v} is inside the requested range "
-                f"({from_version}, {to_version}]: LSNs are not monotone across a "
-                "history rewrite, so an incremental diff is not well-defined. "
-                "Read the feed in two ranges split at the rollback, or pass "
-                "allow_gc=True to diff the endpoint states as-is."
-            )
+        if op in ("vacuum_tombstones", "rollback"):
+            _raise_barrier(op, v, from_version, to_version)
 
 
 def read_changes(
@@ -128,7 +151,7 @@ def read_changes(
             F.lit(None).cast("long").alias(CHANGE_LSN_COL),
         ).limit(0)
     m_from = table.manifest(from_version)
-    _guard_linear_history(table, from_version, to_version, allow_gc)
+    _guard_linear_history(table, m_to, from_version, to_version, allow_gc)
     buckets = changed_buckets(m_from, m_to)
 
     # After side: full payload of candidate buckets at v_to, tombstones kept

@@ -678,6 +678,21 @@ class LakeTable:
 
         row_counts = _apply_counts(m.get("row_counts", {}), row_counts_update)
         key_counts = _apply_counts(m.get("key_counts", {}), key_counts_update)
+        # Change-feed barrier watermark (O(1) fidelity guard): operations
+        # that make an incremental diff across them unfaithful — tombstone
+        # GC (delete evidence removed) and a full overwrite of a NON-empty
+        # table (per-row LSNs reset, watermark monotonicity broken) — stamp
+        # their own version; everything else carries the parent's forward.
+        # plans.change_feed reads ONLY the endpoint manifest instead of
+        # walking every version in the range (10^5 epochs at the 10^10
+        # target). rollback() writes its manifest manually and stamps there.
+        op_name = (summary or {}).get("operation")
+        if op_name == "vacuum_tombstones" or (
+            op_name == "overwrite" and any(m.get("row_counts", {}).values())
+        ):
+            feed_barrier = {"version": new_version, "operation": op_name}
+        else:
+            feed_barrier = m.get("feed_barrier")
         self._check_format(m)
         manifest = {
             "version": new_version,
@@ -692,6 +707,7 @@ class LakeTable:
             "mor_buckets": sorted(mor),
             "properties": props,
             "summary": summary or {},
+            "feed_barrier": feed_barrier,
         }
         self._write_manifest(manifest)
         return new_version
@@ -768,6 +784,11 @@ class LakeTable:
                 "mor_buckets": target.get("mor_buckets", []),
                 "properties": target["properties"],
                 "summary": {"operation": "rollback", "to": version},
+                # history rewrite: LSNs are non-monotone across this commit,
+                # so it is a change-feed barrier (see commit())
+                "feed_barrier": {
+                    "version": cur["version"] + 1, "operation": "rollback",
+                },
             }
             self._write_manifest(manifest)
             # un-stamp ledger epochs committed after the rollback target so

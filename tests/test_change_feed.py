@@ -188,6 +188,42 @@ def test_guards_and_empty_range(spark, tmp_path, fixtures):
         read_changes(tbl, v1, v0)
 
 
+def test_feed_barrier_watermark_is_o1_and_propagates(spark, tmp_path, fixtures):
+    """Every commit carries the latest barrier forward, so the guard reads
+    ONLY the endpoint manifest: a vacuum deep in history still blocks a
+    wide range many merges later; ranges starting at/after it are clean; an
+    overwrite of a non-empty table is a barrier, the bootstrap one is not."""
+    import pyspark.sql.functions as F
+
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_barrier")
+    v0 = tbl.current_version()
+    assert tbl.manifest()["feed_barrier"] is None  # bootstrap overwrite: no barrier
+
+    merge_into(tbl, log.filter(F.col("lsn") < 400), epoch="b0")
+    vacuum_tombstones(tbl, watermark_lsn=401)
+    v_vac = tbl.current_version()
+    merge_into(tbl, log.filter((F.col("lsn") >= 400) & (F.col("lsn") < 700)), epoch="b1")
+    merge_into(tbl, log.filter(F.col("lsn") >= 700), epoch="b2")
+    head = tbl.current_version()
+    assert head > v_vac
+    # barrier propagated through two later merges
+    assert tbl.manifest(head)["feed_barrier"] == {
+        "version": v_vac, "operation": "vacuum_tombstones",
+    }
+    with pytest.raises(ChangeFeedUnavailableError, match="vacuum"):
+        read_changes(tbl, v0, head)
+    read_changes(tbl, v_vac, head).count()  # range starting AT the barrier: clean
+
+    # overwrite of a NON-empty table is a barrier
+    tbl.overwrite_full(base)
+    v_ow = tbl.current_version()
+    merge_into(tbl, log.filter(F.col("lsn") < 50), epoch="b3")
+    with pytest.raises(ChangeFeedUnavailableError, match="overwrite"):
+        read_changes(tbl, v_ow - 1, tbl.current_version())
+    read_changes(tbl, v_ow, tbl.current_version()).count()
+
+
 def test_allow_gc_full_join_recovers_vacuumed_deletes(spark, tmp_path, fixtures):
     """With allow_gc=True the diff runs as a full-outer join: a key whose
     tombstone was physically vacuumed inside the range still surfaces as a
