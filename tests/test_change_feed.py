@@ -315,6 +315,29 @@ def test_consumer_polls_partition_the_feed(spark, tmp_path, fixtures):
     assert not union.duplicated(subset=["doc_id", CHANGE_LSN_COL]).any()
 
 
+def test_consumer_commit_cas_loses_race(spark, tmp_path, fixtures):
+    """Two processes sharing a consumer name: the second commit for the same
+    range CAS-fails instead of silently double-advancing; racing initializers
+    agree on one start position."""
+    import pyspark.sql.functions as F
+
+    from standardized_omop_data_etl_spark.plans.change_feed import ChangeFeedConsumer
+
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_race")
+    v0 = tbl.current_version()
+    c1 = ChangeFeedConsumer(tbl, "shared", start_version=v0)
+    c2 = ChangeFeedConsumer(tbl, "shared", start_version=v0 + 999)  # loses init race
+    assert c2.position() == v0
+    merge_into(tbl, log.filter(F.col("lsn") < 100), epoch="race0")
+    _, head1 = c1.poll()
+    _, head2 = c2.poll()
+    assert head1 == head2
+    assert c1.commit(head1)
+    assert not c2.commit(head2)  # CAS fails: c1 already advanced past pos
+    assert c2.position() == head1 and c2.poll() is None
+
+
 def test_mirror_replicates_table_exactly_once(spark, tmp_path, fixtures):
     """End-to-end CDC replication: source ingests the log across interleaved
     mirror drains; the mirror converges to the source's visible state
