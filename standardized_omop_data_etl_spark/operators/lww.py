@@ -28,13 +28,18 @@ Scale notes
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
-from pyspark.storagelevel import StorageLevel
 
 # Winner sets at or below this many keys are broadcast in the narrow kernel's
-# candidate join; larger sets fall back to a shuffled hash join. Same contract
-# (and default value) as plans.merge.BROADCAST_KEYS_MAX — the keys are short
-# strings, so 4M keys ≈ 100-200 MB broadcast, sized for real executors.
+# candidate join; larger sets fall back to the window kernel (see
+# lww_latest_narrow's broadcast_winners='auto'). Same contract (and default
+# value) as plans.merge.BROADCAST_KEYS_MAX — the keys are short strings, so
+# 4M keys ≈ 100-200 MB broadcast, sized for real executors.
 BROADCAST_KEYS_MAX = 4_000_000
+
+# The auto probe is an HLL estimate (rsd=0.02), not an exact count: only
+# broadcast when the estimate clears the bound with room for the error, so
+# an undercount can never push an over-bound winner set into a broadcast.
+AUTO_BROADCAST_MARGIN = 0.9
 
 
 def lww_latest(
@@ -150,21 +155,28 @@ def lww_latest_narrow(
        forces a sort-merge exchange of every payload, defeating the point
        (verified on the physical plan). ``broadcast_winners`` controls this:
 
-       * ``"auto"`` (default) — the phase-1 aggregate is persisted and its
-         exact key count measured (one narrow job over data the join reuses
-         from cache, so nothing is computed twice); the winner set is
-         broadcast only when the count is ≤ ``broadcast_keys_max``, else the
-         candidate join is an explicit shuffled hash join (never sort-merge:
-         sorting both sides for an existence-shaped probe is waste, and plan
-         flapping makes throughput bimodal). This is the size guard that
-         makes the kernel safe for UNBOUNDED key sets — an initial-load epoch
-         with tens of millions of distinct keys must not broadcast them.
-         The persisted aggregate is attached to the result as
-         ``._sodes_pinned`` so callers that materialize the output can
-         release it (see ``unpersist_pinned``).
-       * ``True`` / ``False`` — explicit, no measuring job: force the
-         broadcast (caller guarantees a bounded key set) or the shuffled
-         join (caller knows it is key-heavy).
+       * ``"auto"`` (default) — the key count is estimated with a cheap HLL
+         probe (``approx_count_distinct`` over ``xxhash64(key)``: a
+         column-pruned scan whose map-side sketches are a few KB — no
+         aggregate materialized, no cache pinned, no per-epoch count job).
+         At or under ``AUTO_BROADCAST_MARGIN × broadcast_keys_max`` (the
+         margin absorbs the HLL error on the safe side) the winner set is
+         broadcast; PAST the bound the whole narrow plan is abandoned for
+         ``lww_latest``: once the key set can't be broadcast, the candidate
+         join would shuffle every payload anyway — the same bytes as the
+         window kernel's single exchange — and then still pay the phase-1
+         aggregate, a winner re-cluster, and the tie-break window on top.
+         Measured on a 16M-event / 8M-key epoch the shuffled candidate join
+         was ~2× the window kernel's wall and scaled worse (fixed per-epoch
+         jobs amortize over less parallel work). This is the size guard that
+         makes the kernel safe for UNBOUNDED key sets — an initial-load
+         epoch with tens of millions of distinct keys must not broadcast
+         them, and with this fallback it degrades to the window plan's
+         one-payload-shuffle cost instead of three exchanges.
+       * ``True`` / ``False`` — explicit, no probe job: force the broadcast
+         (caller guarantees a bounded key set) or force the shuffled
+         candidate join (kept for A/B measurement — ``lww_strategy`` callers
+         never reach it; prefer ``lww_latest`` when key-heavy).
     3. The existing deterministic tie-break (xxhash64 over the full payload,
        identical column order to ``lww_latest``) picks one row per key among
        the few order-tied candidates; its window exchange doubles as the
@@ -186,17 +198,26 @@ def lww_latest_narrow(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = list(df.columns)
+    if broadcast_winners == "auto":
+        est = df.agg(
+            F.approx_count_distinct(
+                F.xxhash64(*[F.col(k) for k in keys]), rsd=0.02
+            ).alias("n")
+        ).collect()[0]["n"]
+        if est > AUTO_BROADCAST_MARGIN * broadcast_keys_max:
+            out = lww_latest(
+                df, keys, order_col, descending=descending,
+                count_col=count_col, num_partitions=num_partitions,
+            )
+            out._sodes_pinned = None  # API compat: nothing pinned on this path
+            return out
+        do_broadcast = True
+    else:
+        do_broadcast = bool(broadcast_winners)
     agg_ord = F.max(order_col) if descending else F.min(order_col)
     winners = df.groupBy(*[F.col(k) for k in keys]).agg(
         agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
     )
-    pinned = None
-    if broadcast_winners == "auto":
-        pinned = winners.persist(StorageLevel.MEMORY_AND_DISK)
-        do_broadcast = pinned.count() <= broadcast_keys_max
-        winners = pinned
-    else:
-        do_broadcast = bool(broadcast_winners)
     win_side = F.broadcast(winners) if do_broadcast else winners.hint("shuffle_hash")
     cand = df.join(win_side, on=keys, how="inner").filter(
         F.col(order_col).eqNullSafe(F.col("_w_ord"))
@@ -211,15 +232,15 @@ def lww_latest_narrow(
     out = out.drop("_rn", "_w_ord", "_w_cnt").select(
         *payload_cols, *([count_col] if count_col else [])
     )
-    out._sodes_pinned = pinned  # released via unpersist_pinned once materialized
+    out._sodes_pinned = None  # nothing pinned since the HLL auto-probe
     return out
 
 
 def unpersist_pinned(df: DataFrame) -> None:
-    """Release the phase-1 aggregate a ``broadcast_winners='auto'`` call
-    pinned in the block-manager cache. Call AFTER the returned DataFrame has
-    been materialized (written/collected) — long epoch loops would otherwise
-    accumulate one key-sized cached aggregate per epoch."""
+    """Release anything a kernel call pinned in the block-manager cache.
+    Since the ``broadcast_winners='auto'`` probe became a cache-free HLL
+    estimate this is a no-op, kept so epoch loops written against the old
+    persist-and-count contract stay source-compatible."""
     pinned = getattr(df, "_sodes_pinned", None)
     if pinned is not None:
         pinned.unpersist()

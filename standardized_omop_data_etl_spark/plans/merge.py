@@ -281,12 +281,13 @@ def _lww_winners(
     (see ``lww_latest_narrow``), ~events-per-key× fewer wide-shuffle bytes,
     hot keys combine before the exchange so salting is unnecessary. The
     narrow kernel's winner-set broadcast is size-guarded against
-    ``BROADCAST_KEYS_MAX`` (``broadcast_winners='auto'`` measures the exact
-    key count off the persisted phase-1 aggregate and falls back to a
-    shuffled hash join past the bound — a key-heavy epoch, e.g. an initial
-    load, must never broadcast millions of winner rows). The pinned
-    aggregate is released by the caller via ``unpersist_pinned`` once the
-    winners are materialized to scratch/delta files."""
+    ``BROADCAST_KEYS_MAX`` (``broadcast_winners='auto'`` estimates the key
+    count with a cheap column-pruned HLL probe and, past the bound, abandons
+    the narrow plan for the window kernel — once the winners can't be
+    broadcast, a candidate join would shuffle every payload anyway, so the
+    window path's single exchange is the strictly cheaper shape; a key-heavy
+    epoch, e.g. an initial load, must never broadcast millions of winner
+    rows). ``unpersist_pinned`` remains a no-op-compatible release hook."""
     if strategy == "narrow":
         return lww_latest_narrow(
             batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets,

@@ -442,10 +442,11 @@ def _physical_plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def test_lww_narrow_auto_shuffles_past_key_threshold(spark):
+def test_lww_narrow_auto_window_fallback_past_key_threshold(spark):
     """broadcast_winners='auto' must NOT broadcast a winner set larger than
-    broadcast_keys_max: the candidate join falls back to a shuffled hash
-    join (no BroadcastExchange in the plan) with bit-identical output."""
+    broadcast_keys_max: past the bound the narrow plan is abandoned for the
+    window kernel (single payload exchange — no BroadcastExchange, no
+    candidate join at all) with bit-identical output."""
     from standardized_omop_data_etl_spark.operators.lww import (
         lww_latest_narrow,
         unpersist_pinned,
@@ -458,13 +459,33 @@ def test_lww_narrow_auto_shuffles_past_key_threshold(spark):
     out = lww_latest_narrow(df, "k", "lsn", count_col="_n", broadcast_keys_max=10)
     plan = _physical_plan(out)
     assert "BroadcastExchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+    got = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out.collect()}
+    exp = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in
+           lww_latest(df, "k", "lsn", count_col="_n").collect()}
+    assert got == exp
+    assert getattr(out, "_sodes_pinned", "missing") is None
+    unpersist_pinned(out)  # must not raise; no-op-compatible release hook
+
+
+def test_lww_narrow_explicit_shuffled_candidate_join(spark):
+    """broadcast_winners=False is the explicit A/B path: a shuffled hash
+    candidate join (never sort-merge, never broadcast), same winners."""
+    from standardized_omop_data_etl_spark.operators.lww import lww_latest_narrow
+
+    df = spark.createDataFrame(
+        [(f"k{i}", j, f"v{i}-{j}") for i in range(100) for j in range(3)],
+        "k string, lsn int, v string",
+    )
+    out = lww_latest_narrow(df, "k", "lsn", count_col="_n", broadcast_winners=False)
+    plan = _physical_plan(out)
+    assert "BroadcastExchange" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
     got = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out.collect()}
     exp = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in
            lww_latest(df, "k", "lsn", count_col="_n").collect()}
     assert got == exp
-    assert getattr(out, "_sodes_pinned", None) is not None
-    unpersist_pinned(out)  # must not raise; releases the pinned aggregate
 
 
 def test_lww_narrow_auto_broadcasts_small_key_sets(spark):

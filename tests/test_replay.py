@@ -408,9 +408,10 @@ def test_lww_narrow_replay_matches_oracle(spark, tmp_path, fixtures):
 
 def test_narrow_default_winner_broadcast_guard(spark, tmp_path, fixtures, monkeypatch):
     """lww_strategy now DEFAULTS to narrow; with BROADCAST_KEYS_MAX forced
-    below the epoch's key count the winner-set join must run shuffled (no
-    static BroadcastExchange) and the final state stays bit-exact vs the
-    window strategy and the pandas oracle."""
+    below the epoch's key count the kernel must not broadcast the winner set
+    (auto falls back to the window plan — no static BroadcastExchange) and
+    the final state stays bit-exact vs the window strategy and the pandas
+    oracle."""
     import standardized_omop_data_etl_spark.plans.merge as M
     from standardized_omop_data_etl_spark.operators import lww as L
 
