@@ -588,6 +588,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", TX.token_count_bpe(F.col("text")).cast("long").alias("n_tokens_bpe")
         )
 
+    def q_asof_attribution(spark, sf):
+        # backward as-of join (operators/temporal.py:asof_join): every
+        # purchase gets its most recent preceding click by the same user —
+        # union+window, one exchange, never a range join. Equal-ts ties break
+        # on max click event_id, encoded identically in the oracle QUALIFY.
+        from standardized_omop_data_etl_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        buys = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "event_id", "ts", "value"
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("event_id").alias("click_id"), "ts", "value"
+        )
+        out = asof_join(
+            buys, clicks, by=["user_id"], tie_col="click_id", prefix="click_"
+        )
+        return out.select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            F.col("click_click_id").alias("click_id"),
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+            F.col("click_value").alias("click_value"),
+        )
+
+    def q_sessionize(spark, sf):
+        # gap sessionization (operators/temporal.py:sessionize): 30-min
+        # inactivity splits a user's events into sessions; session-level
+        # rollup on top. lag + running sum share one exchange (plan-asserted
+        # in tests/test_temporal.py); groupBy adds the rollup's own.
+        from standardized_omop_data_etl_spark.operators.temporal import sessionize
+
+        ev = _t(spark, sf, "events")
+        s = sessionize(
+            ev, by=["user_id"], ts_col="ts", gap_seconds=1800.0, tie_col="event_id"
+        )
+        return s.groupBy("user_id", "session_seq").agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
     def q_cdc_lww_narrow(spark, sf):
         # narrow-max LWW kernel (operators/lww.py:lww_latest_narrow): winners
         # computed via map-side (key, max lsn) reduction + candidate join —
@@ -729,6 +777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gated_fanout": q_gated_fanout,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "windowed_counts": q_windowed_counts,
+        "asof_attribution": q_asof_attribution,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1119,6 +1169,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 2 = 0
             UNION ALL
             SELECT event_id, 'right', 1002 FROM events WHERE event_id % 3 = 0
+        """,
+        "asof_attribution": """
+            WITH l AS (
+              SELECT user_id, event_id, ts, value FROM events
+              WHERE event_type = 'purchase'),
+            r AS (
+              SELECT user_id, event_id AS click_id, ts, value FROM events
+              WHERE event_type = 'click')
+            SELECT l.user_id AS user_id, l.event_id AS event_id,
+                   strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+                   r.click_id AS click_id,
+                   strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   r.value AS click_value
+            FROM l LEFT JOIN r
+              ON l.user_id = r.user_id AND r.ts <= l.ts
+            QUALIFY row_number() OVER (
+              PARTITION BY l.event_id
+              ORDER BY r.ts DESC NULLS LAST, r.click_id DESC NULLS LAST) = 1
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts, value, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+                          THEN 1 ELSE 0 END AS is_new
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            s AS (
+              SELECT user_id, ts, value,
+                     SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM g)
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+                   strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+            FROM s GROUP BY user_id, session_seq
         """,
         "windowed_counts": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
