@@ -636,6 +636,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
 
+    def q_chunk_pack(spark, sf):
+        # concat-and-chunk packing (operators/packing.py:chunk_pack): one
+        # window cumsum per shard + closed-form segment explode — the oracle
+        # reproduces the same interval arithmetic in SQL. Shard is doc_id%8
+        # here (portable to DuckDB); production uses xxhash64 via num_shards.
+        from standardized_omop_data_etl_spark.operators.packing import chunk_pack
+
+        d = (
+            _t(spark, sf, "documents")
+            .select(
+                "doc_id",
+                F.col("n_chars").alias("n_tok"),
+                F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("shard"),
+            )
+        )
+        return chunk_pack(d, capacity=1000, shard_col="shard")
+
+    def q_balanced_shards(spark, sf):
+        # serpentine token-balanced sharding (operators/packing.py:
+        # balanced_shards): rank by (len desc, doc_id), snake rank -> shard.
+        from standardized_omop_data_etl_spark.operators.packing import (
+            balanced_shards,
+        )
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.col("n_chars").alias("n_tok")
+        )
+        return balanced_shards(d, 8).select(
+            "doc_id", "n_tok", F.col("shard").cast("long").alias("shard")
+        )
+
+    def q_ffd_pack(spark, sf):
+        # first-fit-decreasing no-split packing (operators/packing.py:
+        # ffd_pack): per-shard greedy in one Arrow applyInPandas group over
+        # metadata columns only. Greedy FFD is not SQL-expressible — no
+        # oracle entry; the driver's rows-only check plus the invariant suite
+        # in tests/test_packing.py cover it.
+        from standardized_omop_data_etl_spark.operators.packing import ffd_pack
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id", F.col("n_chars").alias("n_tok")
+        )
+        return ffd_pack(d, capacity=1000, num_shards=8)
+
     def q_cdc_lww_narrow(spark, sf):
         # narrow-max LWW kernel (operators/lww.py:lww_latest_narrow): winners
         # computed via map-side (key, max lsn) reduction + candidate join —
@@ -779,6 +823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "asof_attribution": q_asof_attribution,
         "sessionize": q_sessionize,
+        "chunk_pack": q_chunk_pack,
+        "balanced_shards": q_balanced_shards,
+        "ffd_pack": q_ffd_pack,
     }
 
 
@@ -1187,6 +1234,35 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY l.event_id
               ORDER BY r.ts DESC NULLS LAST, r.click_id DESC NULLS LAST) = 1
+        """,
+        "chunk_pack": """
+            WITH d AS (
+              SELECT doc_id, n_chars AS n_tok,
+                     CAST(doc_id % 8 AS INT) AS shard
+              FROM documents WHERE n_chars > 0),
+            o AS (
+              SELECT shard, doc_id, n_tok,
+                     COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS c0
+              FROM d)
+            SELECT shard, k.k AS pack_id, doc_id,
+                   CAST(GREATEST(c0, k.k * 1000) - c0 AS BIGINT) AS seg_start,
+                   CAST(LEAST(c0 + n_tok, (k.k + 1) * 1000)
+                     - GREATEST(c0, k.k * 1000) AS BIGINT) AS seg_len,
+                   CAST(GREATEST(c0, k.k * 1000) - k.k * 1000 AS BIGINT) AS pack_pos
+            FROM o
+            CROSS JOIN UNNEST(generate_series(
+              CAST(c0 // 1000 AS BIGINT),
+              CAST((c0 + n_tok - 1) // 1000 AS BIGINT))) AS k(k)
+        """,
+        "balanced_shards": """
+            SELECT doc_id, n_tok,
+                   CASE WHEN r % 16 < 8 THEN r % 16 ELSE 15 - (r % 16) END AS shard
+            FROM (SELECT doc_id, n_chars AS n_tok,
+                         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+                  FROM documents)
         """,
         "sessionize": """
             WITH g AS (
