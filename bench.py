@@ -34,6 +34,8 @@ HEADLINE = [
     "lang_detect",
     "embedding_topk",
     "minhash_lsh",
+    "asof_attribution",
+    "chunk_pack",
 ]
 
 

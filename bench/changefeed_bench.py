@@ -59,7 +59,7 @@ def consume(df) -> tuple[int, float]:
         F.count(F.lit(1)).alias("n"),
         # mod a prime before summing: raw xxhash64 sums overflow ANSI long
         F.sum(
-            F.pmod(F.xxhash64("doc_id", "n_tok", "tokens"), F.lit(1_000_003))
+            F.pmod(F.xxhash64("doc_id", "n_tok", "tokens"), F.lit(2_147_483_647))
         ).alias("h"),
     ).collect()[0]
     return int(r["n"]), time.time() - t0
@@ -71,7 +71,7 @@ def naive_diff(tbl: LakeTable, v_from: int, v_to: int):
     a = tbl.read(version=v_to)
     b = tbl.read(version=v_from)
     cols = sorted(a.columns)
-    h = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(1_000_003))
+    h = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(2_147_483_647))
     j = a.withColumn("_ah", h).join(
         b.withColumn("_bh", h).select("doc_id", "_bh"), "doc_id", "full"
     )

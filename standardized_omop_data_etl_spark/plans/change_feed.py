@@ -52,6 +52,7 @@ from .merge import BROADCAST_KEYS_MAX
 
 CHANGE_OP_COL = "_change_op"
 CHANGE_LSN_COL = "_change_lsn"
+BEFORE_PREFIX = "_before_"
 
 
 class ChangeFeedUnavailableError(RuntimeError):
@@ -128,6 +129,7 @@ def read_changes(
     from_version: int,
     to_version: int | None = None,
     allow_gc: bool = False,
+    include_before: bool = False,
 ):
     """DataFrame of logical row changes between two snapshots.
 
@@ -137,6 +139,16 @@ def read_changes(
     produced the change) — so the feed itself is a replayable changelog:
     applying it to a copy of v_from with ``merge_into`` reproduces v_to's
     visible state exactly (tested in tests/test_change_feed.py).
+
+    ``include_before=True`` additionally emits ``_before_<col>`` for every
+    user column: the row VISIBLE at ``from_version`` (NULL on inserts — no
+    visible predecessor) — the Delta-CDF ``update_preimage`` analogue, which
+    is what delta-able consumers (incremental aggregate maintenance,
+    plans/mv.py) need to retract the old contribution. Cost is explicit:
+    the before side must then read full payloads of the candidate buckets
+    instead of the 3-column probe, roughly doubling the feed's scan; the
+    broadcast gate tightens accordingly (rows are table-width, not
+    3 columns).
     """
     to_version = table.current_version() if to_version is None else to_version
     if from_version > to_version:
@@ -161,24 +173,32 @@ def read_changes(
     after = table.read(version=to_version, buckets=buckets, include_hidden=True).drop(
         LINEAGE_COL
     )
+    # Before side: 3-column (key, lsn, deleted) visibility probe — or, with
+    # before-images requested, the full payload at v_from (cost disclosed in
+    # the docstring); payload columns come out _before_-prefixed.
+    b_payload = [c for c in user_cols if c != key] if include_before else []
     before = (
         table.read(
             version=from_version, buckets=buckets, include_hidden=True,
-            columns=[key, LSN_COL, DELETED_COL],
+            columns=[key, LSN_COL, DELETED_COL] + b_payload,
         )
         .withColumnRenamed(LSN_COL, "_b_lsn")
         .withColumnRenamed(DELETED_COL, "_b_del")
     )
+    for c in b_payload:
+        before = before.withColumnRenamed(c, BEFORE_PREFIX + c)
     # Same probe-sizing gate as the MERGE kernel: manifest key counts are
-    # free; under the cap the payload side streams with NO exchange.
+    # free; under the cap the payload side streams with NO exchange. With
+    # full-width before rows the cap tightens by a width factor.
     key_counts = m_from.get("key_counts", {})
     if buckets is None:
         before_est = sum(int(c) for c in key_counts.values())
     else:
         before_est = sum(int(key_counts.get(str(b), 0)) for b in buckets)
+    cap = BROADCAST_KEYS_MAX // 16 if include_before else BROADCAST_KEYS_MAX
     before_side = (
         F.broadcast(before)
-        if before_est <= BROADCAST_KEYS_MAX
+        if before_est <= cap
         else before.hint("shuffle_hash")
     )
     # Linear history: every before-row still exists at v_to (live, tombstoned
@@ -201,6 +221,15 @@ def read_changes(
         .when(~a_dead & (b_missing | b_dead), F.lit("insert"))
         .when(~a_dead, F.lit("update"))
     )  # else NULL → filtered
+    # before-image is the row VISIBLE at v_from: NULL unless the key was
+    # live there (tombstones are bookkeeping, not a visible predecessor)
+    b_visible = ~b_missing & ~b_dead
+    before_cols = [
+        F.when(b_visible, F.col(BEFORE_PREFIX + c)).alias(BEFORE_PREFIX + c)
+        for c in b_payload
+    ]
+    if include_before and b_payload:
+        before_cols.insert(0, F.when(b_visible, F.col(key)).alias(BEFORE_PREFIX + key))
     return (
         j.filter(newer)
         .withColumn(CHANGE_OP_COL, op)
@@ -208,6 +237,7 @@ def read_changes(
         .select(
             CHANGE_OP_COL,
             *user_cols,
+            *before_cols,
             # synthesized deletes have no stored row: stay monotone past the
             # before-watermark (snapshot_diff's legacy convention)
             F.coalesce(F.col(LSN_COL), F.col("_b_lsn") + 1).alias(CHANGE_LSN_COL),
@@ -258,16 +288,21 @@ class ChangeFeedConsumer:
     def position(self) -> int:
         return int(json.loads(self.fs.read_text(self._path))["position"])
 
-    def poll(self, allow_gc: bool = False):
+    def poll(self, allow_gc: bool = False, include_before: bool = False):
         """(feed DataFrame, head_version) for everything committed past this
         consumer's position, or None when caught up. Does NOT advance the
-        offset — call ``commit(head_version)`` after processing."""
+        offset — call ``commit(head_version)`` after processing.
+        ``include_before`` passes through to ``read_changes`` (before-images
+        for delta-able consumers, at the documented extra scan cost)."""
         pos = self.position()
         head = self.table.current_version()
         if head <= pos:
             return None
         try:
-            feed = read_changes(self.table, pos, head, allow_gc=allow_gc)
+            feed = read_changes(
+                self.table, pos, head, allow_gc=allow_gc,
+                include_before=include_before,
+            )
         except FileNotFoundError as e:
             raise ChangeFeedUnavailableError(
                 f"consumer '{self.name}' position v{pos} predates snapshot "

@@ -1,0 +1,123 @@
+"""Incremental aggregate maintenance over the change feed.
+
+The classic materialized-view problem: keep ``SELECT group_cols,
+count(*), sum(v)...`` current as the base table ingests changes, WITHOUT
+re-aggregating the table. At 10^10 rows a per-poll re-aggregate is the
+reference's recompute-everything model (``combine_subtables.py:61-124``)
+applied to analytics; with before-images on the feed the update is exact
+algebra instead:
+
+* every change row's AFTER image contributes ``+1 / +v`` to its (new) group
+  unless the op is a delete;
+* every change row's BEFORE image (``_before_*`` — the row visible at
+  v_from) retracts ``-1 / -v`` from its (old) group unless the op is an
+  insert.
+
+Group-moving updates fall out for free: the retraction and the contribution
+simply land in different groups. Count and sum are the self-maintainable
+aggregates (avg = sum/count at read time); min/max are NOT maintainable under
+deletes without the full group and are deliberately not offered.
+
+Scale shape: ``agg_deltas`` is one union + one partial-aggregated groupBy of
+the CHANGE volume (never the table); ``apply_agg_deltas`` joins O(groups
+touched) deltas against the view — broadcast-sized in any realistic grouping.
+The exactness contract (incrementally maintained == recomputed from the final
+table, epoch by epoch) is the oracle in tests/test_mv.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .change_feed import BEFORE_PREFIX, CHANGE_OP_COL
+
+COUNT_COL = "mv_count"
+
+
+def _sum_col(v: str) -> str:
+    return f"mv_sum_{v}"
+
+
+def agg_deltas(
+    feed: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Net per-group deltas carried by a change-feed frame (must come from
+    ``read_changes(..., include_before=True)`` / ``poll(include_before=True)``).
+    Output: ``group_cols`` + ``mv_count`` + ``mv_sum_<v>`` per ``sum_cols``
+    entry — summable onto a view by ``apply_agg_deltas``."""
+    sum_cols = sum_cols or []
+    missing = [c for c in group_cols + sum_cols if BEFORE_PREFIX + c not in feed.columns]
+    if missing:
+        raise ValueError(
+            f"feed lacks before-images for {missing}; read with include_before=True"
+        )
+    post = feed.filter(F.col(CHANGE_OP_COL) != "delete").select(
+        *group_cols,
+        F.lit(1).alias("_w"),
+        *[F.col(v).alias(v) for v in sum_cols],
+    )
+    # op != insert ⇔ the key was visible at v_from ⇔ a before-image exists
+    pre = feed.filter(F.col(CHANGE_OP_COL) != "insert").select(
+        *[F.col(BEFORE_PREFIX + c).alias(c) for c in group_cols],
+        F.lit(-1).alias("_w"),
+        *[F.col(BEFORE_PREFIX + v).alias(v) for v in sum_cols],
+    )
+    agg = (
+        post.unionByName(pre)
+        .groupBy(*group_cols)
+        .agg(
+            F.sum("_w").cast("long").alias(COUNT_COL),
+            *[
+                F.sum(F.col(v) * F.col("_w")).alias(_sum_col(v))
+                for v in sum_cols
+            ],
+        )
+    )
+    # all-zero deltas (a group whose changes net out exactly) are no-ops
+    keep = F.col(COUNT_COL) != 0
+    for v in sum_cols:
+        keep = keep | (F.coalesce(F.col(_sum_col(v)), F.lit(0)) != 0)
+    return agg.filter(keep)
+
+
+def apply_agg_deltas(
+    view: DataFrame,
+    deltas: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Merge a delta frame onto the current view state: full outer join on
+    the group key, sum each measure, drop groups whose count reaches zero.
+    ``view`` must have the same ``mv_*`` columns ``agg_deltas`` emits (an
+    empty initial view is ``bootstrap_agg(df.limit(0), ...)``)."""
+    sum_cols = sum_cols or []
+    measures = [COUNT_COL] + [_sum_col(v) for v in sum_cols]
+    d = deltas.select(
+        *group_cols, *[F.col(m).alias(f"_d_{m}") for m in measures]
+    )
+    j = view.join(d, on=group_cols, how="full")
+    out = j.select(
+        *group_cols,
+        *[
+            (F.coalesce(F.col(m), F.lit(0)) + F.coalesce(F.col(f"_d_{m}"), F.lit(0)))
+            .cast("long" if m == COUNT_COL else "double")
+            .alias(m)
+            for m in measures
+        ],
+    )
+    return out.filter(F.col(COUNT_COL) > 0)
+
+
+def bootstrap_agg(
+    df: DataFrame, group_cols: list[str], sum_cols: list[str] | None = None
+) -> DataFrame:
+    """The view's initial state from a full read — run ONCE at subscription
+    time; every refresh after that is ``agg_deltas`` + ``apply_agg_deltas``
+    over the feed."""
+    sum_cols = sum_cols or []
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias(COUNT_COL),
+        *[F.sum(v).cast("double").alias(_sum_col(v)) for v in sum_cols],
+    )

@@ -1,0 +1,164 @@
+"""Before-images on the change feed + incremental aggregate maintenance.
+
+The contract under test, end to end: bootstrap a per-(source) count/sum view
+once, then after every replay epoch refresh it ONLY from
+``read_changes(..., include_before=True)`` deltas — and at every version the
+maintained view must equal a from-scratch re-aggregate of the table's visible
+state (the recompute oracle). Before-images themselves are checked against a
+pandas state oracle (NULL on inserts, prior visible payload on
+updates/deletes).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from standardized_omop_data_etl_spark.plans.change_feed import (
+    BEFORE_PREFIX,
+    CHANGE_OP_COL,
+    ChangeFeedConsumer,
+    read_changes,
+)
+from standardized_omop_data_etl_spark.plans.mv import (
+    COUNT_COL,
+    agg_deltas,
+    apply_agg_deltas,
+    bootstrap_agg,
+)
+from standardized_omop_data_etl_spark.plans.replay import replay_log
+from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+N_DOCS = 200
+N_EVENTS = 1200
+EPOCHS = 4
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    base = base_sequences(spark, N_DOCS, seed=11, max_len=32)
+    log = change_log(spark, N_EVENTS, N_DOCS, seed=11, max_len=32)
+    tbl = LakeTable.create(
+        spark,
+        str(tmp_path_factory.mktemp("mv") / "t"),
+        schema=base.schema,
+        key_col="doc_id",
+        num_buckets=8,
+        overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    v0 = tbl.current_version()
+    replay_log(tbl, log, num_epochs=EPOCHS)
+    return tbl, v0, base.toPandas(), log.toPandas()
+
+
+def _visible_state(base_pdf, log_pdf, upto_lsn):
+    """doc_id -> payload dict of rows visible after events with lsn < upto."""
+    cols = [c for c in log_pdf.columns if c not in ("lsn", "op")]
+    st = {r["doc_id"]: {c: r.get(c) for c in cols} for _, r in base_pdf.iterrows()}
+    dead = set()
+    ev = log_pdf[log_pdf["lsn"] < upto_lsn].sort_values("lsn", kind="mergesort")
+    for _, r in ev.iterrows():
+        if r["op"] == "delete":
+            dead.add(r["doc_id"])
+            st[r["doc_id"]] = {c: r.get(c) for c in cols}
+        else:
+            dead.discard(r["doc_id"])
+            st[r["doc_id"]] = {c: r.get(c) for c in cols}
+    return {k: v for k, v in st.items() if k not in dead}
+
+
+def test_before_images_match_state_oracle(spark, table):
+    tbl, v0, base_pdf, log_pdf = table
+    v_hi = tbl.current_version()
+    per_epoch = N_EVENTS // EPOCHS  # replay_log splits the LSN range evenly
+    for v_from in range(v0, v_hi):
+        feed = read_changes(tbl, v_from, v_from + 1, include_before=True).toPandas()
+        vis = _visible_state(base_pdf, log_pdf, (v_from - v0) * per_epoch)
+        for _, r in feed.iterrows():
+            if r[CHANGE_OP_COL] == "insert":
+                assert pd.isna(r[BEFORE_PREFIX + "doc_id"]), r["doc_id"]
+            else:
+                prior = vis[r["doc_id"]]
+                assert r[BEFORE_PREFIX + "doc_id"] == r["doc_id"]
+                assert int(r[BEFORE_PREFIX + "n_tok"]) == int(prior["n_tok"])
+                assert list(r[BEFORE_PREFIX + "tokens"]) == list(prior["tokens"])
+        # updates/deletes ⇔ key visible at v_from
+        ops = feed.set_index("doc_id")[CHANGE_OP_COL]
+        for doc_id, op in ops.items():
+            assert (op != "insert") == (doc_id in vis)
+
+
+def test_incremental_view_equals_recompute_every_version(spark, table):
+    tbl, v0, _, _ = table
+    v_hi = tbl.current_version()
+    group, sums = ["source"], ["n_tok"]
+    view = bootstrap_agg(tbl.read(version=v0), group, sums)
+    for v in range(v0, v_hi):
+        feed = read_changes(tbl, v, v + 1, include_before=True)
+        view = apply_agg_deltas(view, agg_deltas(feed, group, sums), group, sums)
+        got = view.toPandas().sort_values("source").reset_index(drop=True)
+        want = (
+            bootstrap_agg(tbl.read(version=v + 1), group, sums)
+            .toPandas()
+            .sort_values("source")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_moving_updates_and_zero_groups(spark, tmp_path):
+    # hand-built log: one row moves groups, one group empties entirely
+    base = spark.createDataFrame(
+        [("a", [1, 2], 2, "s1"), ("b", [3], 1, "s2")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=base.schema,
+        key_col="doc_id", num_buckets=4, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    log = spark.createDataFrame(
+        [
+            (1, "upsert", "a", [9, 9, 9], 3, "s2"),  # a moves s1 -> s2
+            (2, "delete", "b", None, None, "s2"),     # s2 loses b
+        ],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    replay_log(tbl, log, num_epochs=1)
+    feed = read_changes(tbl, 1, tbl.current_version(), include_before=True)
+    view = bootstrap_agg(base, ["source"], ["n_tok"])
+    view = apply_agg_deltas(
+        view, agg_deltas(feed, ["source"], ["n_tok"]), ["source"], ["n_tok"]
+    )
+    got = {r["source"]: (r[COUNT_COL], r["mv_sum_n_tok"]) for r in view.collect()}
+    assert got == {"s2": (1, 3.0)}  # s1 emptied and dropped; s2 = moved row only
+
+
+def test_consumer_poll_include_before(spark, table):
+    tbl, v0, _, _ = table
+    c = ChangeFeedConsumer(tbl, "mv_test", start_version=v0)
+    feed, head = c.poll(include_before=True)
+    assert head == tbl.current_version()
+    bcols = [c_ for c_ in feed.columns if c_.startswith(BEFORE_PREFIX)]
+    assert BEFORE_PREFIX + "tokens" in bcols and BEFORE_PREFIX + "doc_id" in bcols
+    # collapsed multi-epoch feed still nets to the recompute oracle
+    view = bootstrap_agg(tbl.read(version=v0), ["source"], ["n_tok"])
+    view = apply_agg_deltas(
+        view, agg_deltas(feed, ["source"], ["n_tok"]), ["source"], ["n_tok"]
+    )
+    want = bootstrap_agg(tbl.read(), ["source"], ["n_tok"]).toPandas()
+    got = view.toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("source").reset_index(drop=True),
+        want.sort_values("source").reset_index(drop=True),
+        check_dtype=False,
+    )
+    assert c.commit(head)
+
+
+def test_agg_deltas_requires_before_images(spark, table):
+    tbl, v0, _, _ = table
+    feed = read_changes(tbl, v0, v0 + 1)  # no before-images
+    with pytest.raises(ValueError, match="include_before"):
+        agg_deltas(feed, ["source"], ["n_tok"])
