@@ -121,3 +121,139 @@ def bootstrap_agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
         *[F.sum(v).cast("double").alias(_sum_col(v)) for v in sum_cols],
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted views: the MV as a LakeTable maintained through the same
+# exactly-once MERGE machinery as any other CDC sink.
+
+MV_KEY_COL = "mv_key"
+
+
+def _mv_key(group_cols: list[str]):
+    """Composite group key as the view table's single key column (LakeTable
+    keys are one column); \\x1f-joined with a NULL sentinel so (NULL,) and
+    ("",) stay distinct."""
+    return F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in group_cols
+        ],
+    )
+
+
+def materialize_view(
+    spark,
+    path: str,
+    source,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    name: str = "mv",
+    num_buckets: int = 4,
+):
+    """Create a persisted aggregate view of ``source`` (a LakeTable) at its
+    current version and subscribe a feed consumer at the same version.
+    Returns ``(view_table, consumer)`` — thereafter ``refresh_view`` is the
+    only write path. O(table) exactly once, here."""
+    from ..sources.lake import LakeTable
+    from .change_feed import ChangeFeedConsumer
+
+    sum_cols = sum_cols or []
+    v0 = source.current_version()
+    snap = bootstrap_agg(
+        source.read(version=v0), group_cols, sum_cols
+    ).withColumn(MV_KEY_COL, _mv_key(group_cols))
+    view = LakeTable.create(
+        spark, path, schema=snap.schema, key_col=MV_KEY_COL,
+        num_buckets=num_buckets, overwrite=True,
+    )
+    view.overwrite_full(snap)
+    consumer = ChangeFeedConsumer(source, name, start_version=v0)
+    return view, consumer
+
+
+def _mv_applied_head(view, consumer) -> int | None:
+    """Highest source version any ``mv:{name}:from-*`` epoch in the view's
+    ledger has applied (stored as the epoch's last_lsn). O(epochs) metadata;
+    read only on refresh, never per-row."""
+    prefix = f"mv:{consumer.name}:from-"
+    heads = [
+        int(rec.get("last_lsn", -1))
+        for e, rec in view.applied_epochs().items()
+        if e.startswith(prefix)
+    ]
+    return max(heads) if heads else None
+
+
+def refresh_view(
+    view,
+    consumer,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    allow_gc: bool = False,
+) -> list:
+    """Drain the consumer into the persisted view — incremental, exactly
+    once, resumable:
+
+    * each poll's deltas apply as ONE MERGE epoch keyed on the consumer
+      POSITION alone (``mv:{name}:from-{pos}``): a crash between MERGE and
+      offset-commit redelivers from the same position, the ledger skips the
+      duplicate, and the consumer fast-forwards to the head recorded as the
+      epoch's LSN — no double-retraction, no lost range, even if the source
+      committed more epochs in between;
+    * racing maintainers sharing a consumer name collapse the same way: one
+      MERGE wins the ledger, the loser's commit CAS fails and it re-polls.
+
+    Returns the MergeResults of epochs actually applied this call."""
+    from .merge import merge_into
+
+    sum_cols = sum_cols or []
+    measures = [COUNT_COL] + [_sum_col(v) for v in sum_cols]
+    results = []
+    while True:
+        # crash / race recovery: ledger knows more than the offset file
+        hwm = _mv_applied_head(view, consumer)
+        if hwm is not None and hwm > consumer.position():
+            consumer.commit(hwm)
+            continue
+        got = consumer.poll(allow_gc=allow_gc, include_before=True)
+        if got is None:
+            return results
+        feed, head = got
+        pos = consumer.position()
+        deltas = agg_deltas(feed, group_cols, sum_cols)
+        d = deltas.select(
+            *group_cols, *[F.col(m).alias(f"_d_{m}") for m in measures]
+        )
+        # touched groups only: right join current state onto the deltas
+        cur = view.read().drop(MV_KEY_COL)
+        j = cur.join(d, on=group_cols, how="right")
+        vals = j.select(
+            *group_cols,
+            *[
+                (
+                    F.coalesce(F.col(m), F.lit(0))
+                    + F.coalesce(F.col(f"_d_{m}"), F.lit(0))
+                )
+                .cast("long" if m == COUNT_COL else "double")
+                .alias(m)
+                for m in measures
+            ],
+        )
+        batch = vals.select(
+            F.lit(head).cast("long").alias("lsn"),
+            F.when(F.col(COUNT_COL) <= 0, F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("op"),
+            _mv_key(group_cols).alias(MV_KEY_COL),
+            *group_cols,
+            *measures,
+        )
+        r = merge_into(view, batch, epoch=f"mv:{consumer.name}:from-{pos}")
+        if not r.skipped:
+            results.append(r)
+        # skipped ⇒ a winner already applied from this position; loop's
+        # ledger probe will fast-forward the offset to ITS head, not ours
+        if not r.skipped and not consumer.commit(head):
+            continue  # lost the offset CAS to a peer; re-poll from winner

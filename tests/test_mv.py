@@ -162,3 +162,105 @@ def test_agg_deltas_requires_before_images(spark, table):
     feed = read_changes(tbl, v0, v0 + 1)  # no before-images
     with pytest.raises(ValueError, match="include_before"):
         agg_deltas(feed, ["source"], ["n_tok"])
+
+
+def test_persisted_view_refresh_and_crash_recovery(spark, tmp_path):
+    from standardized_omop_data_etl_spark.plans.mv import (
+        MV_KEY_COL,
+        materialize_view,
+        refresh_view,
+    )
+
+    base = base_sequences(spark, 120, seed=3, max_len=24)
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema=base.schema,
+        key_col="doc_id", num_buckets=4, overwrite=True,
+    )
+    src.overwrite_full(base)
+    view, c = materialize_view(
+        spark, str(tmp_path / "view"), src, ["source"], ["n_tok"], name="m1"
+    )
+
+    log = change_log(spark, 600, 120, seed=3, max_len=24)
+    e1 = log.filter(F.col("lsn") < 200)
+    e2 = log.filter((F.col("lsn") >= 200) & (F.col("lsn") < 400))
+    e3 = log.filter(F.col("lsn") >= 400)
+
+    replay_log(src, e1, num_epochs=1, epoch_prefix="a")
+    applied = refresh_view(view, c, ["source"], ["n_tok"])
+    assert len(applied) == 1 and not applied[0].skipped
+
+    def recompute():
+        return (
+            bootstrap_agg(src.read(), ["source"], ["n_tok"])
+            .toPandas().sort_values("source").reset_index(drop=True)
+        )
+
+    def view_state():
+        return (
+            view.read().drop(MV_KEY_COL)
+            .toPandas().sort_values("source").reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(view_state(), recompute(), check_dtype=False)
+
+    # crash window: refresh applied e2's MERGE but the offset commit was
+    # lost — simulate by CAS-ing the offset file back to the old position
+    replay_log(src, e2, num_epochs=1, epoch_prefix="b")
+    pos_before = c.position()
+    refresh_view(view, c, ["source"], ["n_tok"])
+    assert c.fs.replace_if_equals(
+        c._path, c._payload(c.position()), c._payload(pos_before)
+    )
+    assert c.position() == pos_before  # "crashed" before the commit
+
+    # base advances further before anyone notices
+    replay_log(src, e3, num_epochs=1, epoch_prefix="c")
+    applied = refresh_view(view, c, ["source"], ["n_tok"])
+    # fast-forward consumed the ledger hwm, then applied ONLY the new range
+    assert len(applied) == 1
+    pd.testing.assert_frame_equal(view_state(), recompute(), check_dtype=False)
+    # idempotent once caught up
+    assert refresh_view(view, c, ["source"], ["n_tok"]) == []
+    pd.testing.assert_frame_equal(view_state(), recompute(), check_dtype=False)
+
+
+def test_persisted_view_group_deletes_tombstone(spark, tmp_path):
+    from standardized_omop_data_etl_spark.plans.mv import (
+        MV_KEY_COL,
+        materialize_view,
+        refresh_view,
+    )
+
+    base = spark.createDataFrame(
+        [("a", [1], 1, "s1"), ("b", [2], 1, "s2")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), schema=base.schema,
+        key_col="doc_id", num_buckets=2, overwrite=True,
+    )
+    src.overwrite_full(base)
+    view, c = materialize_view(
+        spark, str(tmp_path / "v"), src, ["source"], ["n_tok"], name="m2"
+    )
+    # delete the only s1 row -> the s1 group must disappear from the view
+    log = spark.createDataFrame(
+        [(1, "delete", "a", None, None, "s1")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    replay_log(src, log, num_epochs=1)
+    refresh_view(view, c, ["source"], ["n_tok"])
+    got = view.read().select("source").toPandas()["source"].tolist()
+    assert got == ["s2"]
+    # and it can come back (tombstone revive through the same MERGE path)
+    log2 = spark.createDataFrame(
+        [(2, "upsert", "z", [5, 5], 2, "s1")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    replay_log(src, log2, num_epochs=1)
+    refresh_view(view, c, ["source"], ["n_tok"])
+    got = {
+        r["source"]: (r["mv_count"], r["mv_sum_n_tok"]) for r in view.read().collect()
+    }
+    assert got == {"s1": (1, 2.0), "s2": (1, 1.0)}
