@@ -125,21 +125,46 @@ def balanced_shards(
     docs are ranked by ``(len desc, doc_id)`` and the rank snakes across
     shards (0,1,..,S-1,S-1,..,1,0,0,1,..), so each shard receives one doc per
     length band and band-internal variance cancels. Adds ``out_col`` to the
-    input columns. One global sort exchange; the rank itself is the only
-    global state.
+    input columns.
+
+    The global rank is computed DISTRIBUTED — a naked
+    ``Window.orderBy(...)`` would collapse every row into one partition (the
+    single-reducer trap). Instead: one order-preserving
+    ``repartitionByRange`` on the rank ordering, a per-partition local
+    ``row_number`` (same partitioning — no extra row exchange), plus an
+    O(partitions)-row cumulative-count frame broadcast back as rank offsets
+    (its SinglePartition window is over partition counts, not rows). Exact
+    total order, no serial stage over data. Both branches re-evaluate the
+    same range repartition, so the input must be deterministic under
+    recompute — true of any stable scan, and the standard Spark recompute
+    contract.
     """
     if num_shards <= 0:
         raise ValueError(f"num_shards must be positive, got {num_shards}")
-    s = F.lit(int(num_shards)).cast("long")
-    r = (
-        F.row_number().over(
-            Window.orderBy(F.col(len_col).desc(), F.col(doc_col).asc())
-        )
-        - 1
+    order = [F.col(len_col).desc(), F.col(doc_col).asc()]
+    parts = df.repartitionByRange(*order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    # rank offset per range-partition: an O(partitions)-row frame (its own
+    # single-partition window is over partition COUNTS, not rows), broadcast
+    # back; the range exchange is shared between both branches
+    sizes = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = sizes.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    local = (
+        F.row_number().over(Window.partitionBy("_pid").orderBy(*order)) - 1
     ).cast("long")
+    s = F.lit(int(num_shards)).cast("long")
+    r = local + F.col("_off")
     fwd = r % (2 * s)
     snake = F.when(fwd < s, fwd).otherwise(2 * s - 1 - fwd)
-    return df.withColumn(out_col, snake.cast("int"))
+    return (
+        parts.join(F.broadcast(offs), "_pid")
+        .withColumn(out_col, snake.cast("int"))
+        .drop("_pid", "_off")
+    )
 
 
 _FFD_SCHEMA = T.StructType(
