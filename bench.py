@@ -92,9 +92,10 @@ def main() -> None:
         )
         tbl.overwrite_full(base)
         t0 = time.time()
-        # narrow-max LWW kernel: the measured-best apply path (winners-only
-        # wide shuffle; see BENCH/BASELINE.md kernel A/B)
-        replay_log(tbl, log, num_epochs=2, lww_strategy="narrow")
+        # default lww_strategy="auto": resolves window at this shape (1M-event
+        # epochs / 32 cores = 31k rows/core — measured ~1.7x faster than the
+        # narrow kernel here; see BENCH/BASELINE.md r4 kernel-shape A/B)
+        replay_log(tbl, log, num_epochs=2)
         dt = time.time() - t0
         replay_sec = dt if replay_sec is None else min(replay_sec, dt)
         samples.setdefault("cdc_replay", []).append(round(dt, 3))

@@ -117,6 +117,30 @@ AUTO_MOR_REWRITE_AMPLIFICATION = 4.0
 # table, so auto picks mor on table size alone.
 AUTO_MOR_TABLE_ROWS_MIN = 10_000_000
 
+# lww_strategy="auto" crossover: the narrow kernel (winners-only wide
+# exchange) pays ~4 extra stages + an HLL probe per epoch; its payoff — not
+# shuffling non-winner payloads — only dominates when each core has a LOT of
+# exchange work per epoch. Measured A/B on this box (BENCH/BASELINE.md r4
+# kernel-shape table): at 31k batch rows/core window wins ~1.7x, at 125k
+# rows/core window still wins, at 500k rows/core narrow wins 1.5x (and
+# 3.5x/core at 2-16M rows/core in the pinned campaigns). Geometric midpoint
+# of the measured bracket:
+NARROW_MIN_ROWS_PER_CORE = 250_000
+
+
+def resolve_lww_strategy(
+    batch_rows_est: int | None, parallelism: int
+) -> str:
+    """Pick the LWW kernel from the epoch's per-core exchange work. Unknown
+    batch size → window: a streaming micro-batch of unknown size is almost
+    always small relative to the cluster, and window's worst measured
+    deficit (the few-core, huge-epoch regime) needs both knowns to be
+    extreme. Callers that KNOW the regime pass 'narrow'/'window' outright."""
+    if batch_rows_est is None or batch_rows_est <= 0:
+        return "window"
+    per_core = batch_rows_est / max(int(parallelism), 1)
+    return "narrow" if per_core >= NARROW_MIN_ROWS_PER_CORE else "window"
+
 
 def resolve_merge_mode(
     table_rows: int,
@@ -193,7 +217,7 @@ def merge_into(
     source_name: str = "changelog",
     mode: str = "cow",
     missing: str = "null",
-    lww_strategy: str = "narrow",
+    lww_strategy: str = "auto",
     batch_rows_est: int | None = None,
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
@@ -224,7 +248,9 @@ def merge_into(
     ``diff_schema``).
 
     ``lww_strategy`` picks the per-key conflict-resolution kernel:
-    ``"narrow"`` (default — measured ~3.5×/core faster; winner-set broadcast
+    ``"auto"`` (default) resolves per epoch from ``batch_rows_est`` per core
+    (``resolve_lww_strategy``; the r4 kernel-shape A/B in BENCH/BASELINE.md);
+    ``"narrow"`` ( — measured ~3.5×/core faster; winner-set broadcast
     size-guarded, see ``_lww_winners``) or ``"window"`` (single windowed
     shuffle of every payload; pair with ``salt_partitions`` for degenerate
     order columns where one key's MAX LSN itself is massively duplicated —
@@ -239,9 +265,14 @@ def merge_into(
             int(c) for c in table.manifest().get("row_counts", {}).values()
         )
         mode = resolve_merge_mode(total_rows, batch_rows_est)
-    if lww_strategy not in ("window", "narrow"):
+    if lww_strategy not in ("window", "narrow", "auto"):
         raise ValueError(
-            f"unknown lww_strategy {lww_strategy!r} (expected 'window' or 'narrow')"
+            f"unknown lww_strategy {lww_strategy!r} "
+            "(expected 'window', 'narrow', or 'auto')"
+        )
+    if lww_strategy == "auto":
+        lww_strategy = resolve_lww_strategy(
+            batch_rows_est, table.spark.sparkContext.defaultParallelism
         )
     epoch = str(epoch)
     if _is_applied(table, epoch):

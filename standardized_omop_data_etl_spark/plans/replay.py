@@ -49,7 +49,7 @@ def replay_log(
     epoch_prefix: str = "replay",
     lsn_range: tuple[int, int] | None = None,
     mode: str = "cow",
-    lww_strategy: str = "narrow",
+    lww_strategy: str = "auto",
     maintenance: "MaintenancePolicy | None" = None,
 ) -> list[MergeResult]:
     """Apply an entire change log as ``num_epochs`` MERGE commits.

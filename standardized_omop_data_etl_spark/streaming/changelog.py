@@ -44,6 +44,7 @@ def stream_changelog_from(
     epoch_prefix: str = "stream",
     mode: str = "cow",
     maintenance: "MaintenancePolicy | None" = None,
+    views: list | None = None,
 ) -> StreamingQuery:
     """MERGE-sink for ANY streaming DataFrame of changelog events
     ``(lsn, op, <payload>)`` — the source-agnostic seam. A Kafka topic plugs
@@ -65,10 +66,19 @@ def stream_changelog_from(
     counts bounded without an external scheduler. The policy's ``vacuum``
     flag is IGNORED here: streaming batches carry no LSN-ordering guarantee,
     so a safe tombstone watermark must come from the upstream (call
-    ``vacuum_tombstones`` explicitly with it)."""
+    ``vacuum_tombstones`` explicitly with it).
+
+    ``views`` chains persisted materialized views onto the same tail: each
+    entry is ``(view_table, consumer, group_cols, sum_cols)`` (from
+    ``plans.mv.materialize_view`` over ``table``) and is refreshed after
+    every applied batch — binlog → table → view in one streaming pipeline.
+    ``refresh_view`` is itself exactly-once (position-keyed ledger epochs),
+    so redelivered batches and crashes anywhere in the chain stay safe."""
     applied = {"n": 0}
 
     def apply_batch(batch_df, batch_id: int) -> None:
+        from ..plans.mv import refresh_view
+
         res = merge_into(
             table,
             batch_df,
@@ -77,6 +87,8 @@ def stream_changelog_from(
             source_name=epoch_prefix,
             mode=mode,
         )
+        for view, consumer, group_cols, sum_cols in views or []:
+            refresh_view(view, consumer, group_cols, sum_cols)
         if maintenance is not None and maintenance.every_epochs and not res.skipped:
             applied["n"] += 1
             if applied["n"] >= maintenance.every_epochs:

@@ -248,3 +248,34 @@ def test_auto_mode_replay_matches_oracle_and_picks_modes(spark, tmp_path, fixtur
     )
     r = merge_into(tbl, fresh, epoch="bulk", mode="auto", batch_rows_est=N_DOCS * 10)
     assert tbl.manifest(r.version)["summary"]["operation"] == "merge"
+
+
+def test_resolve_lww_strategy_chooser():
+    """Kernel chooser follows the measured per-core crossover
+    (BENCH/BASELINE.md r4 kernel-shape A/B): window under 250k batch
+    rows/core or when the batch size is unknown, narrow above."""
+    from standardized_omop_data_etl_spark.plans.merge import (
+        NARROW_MIN_ROWS_PER_CORE,
+        resolve_lww_strategy,
+    )
+
+    assert resolve_lww_strategy(None, 32) == "window"          # unknown batch
+    assert resolve_lww_strategy(0, 32) == "window"
+    assert resolve_lww_strategy(1_000_000, 32) == "window"     # 31k/core
+    assert resolve_lww_strategy(16_000_000, 32) == "narrow"    # 500k/core
+    assert resolve_lww_strategy(16_000_000, 4) == "narrow"     # campaign shape
+    assert resolve_lww_strategy(NARROW_MIN_ROWS_PER_CORE, 1) == "narrow"
+    assert resolve_lww_strategy(NARROW_MIN_ROWS_PER_CORE - 1, 1) == "window"
+
+
+def test_lww_auto_bit_identical_to_explicit(spark, tmp_path, fixtures):
+    """lww_strategy='auto' (the default) must produce the same final state
+    as both explicit kernels — on the same log, epoch by epoch."""
+    base, log, base_pdf, log_pdf = fixtures
+    states = {}
+    for strat in ("auto", "window", "narrow"):
+        tbl = make_table(spark, tmp_path, base, name=f"t_{strat}")
+        replay_log(tbl, log, num_epochs=3, lww_strategy=strat)
+        states[strat] = canonicalize(tbl.read().toPandas())
+    assert states["auto"].equals(states["window"])
+    assert states["auto"].equals(states["narrow"])

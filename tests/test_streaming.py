@@ -306,3 +306,70 @@ def test_socket_source_through_kafka_wiring(spark, tmp_path):
     assert got == {f"doc-{k}": 10 + k for k in range(1, 10)}, got
     # dead-letter lines (lsn 55 unknown-op) never merged: doc-3 kept its winner
     assert got["doc-3"] == 13
+
+
+@pytest.mark.timeout(300)
+def test_streaming_chained_materialized_view(spark, tmp_path):
+    """binlog → table → persisted view in ONE streaming pipeline: the MERGE
+    foreachBatch chains refresh_view per applied batch; after the tail
+    drains, the view equals a from-scratch re-aggregate of the table."""
+    import os
+
+    import pandas as pd
+
+    from standardized_omop_data_etl_spark.plans.mv import (
+        MV_KEY_COL,
+        bootstrap_agg,
+        materialize_view,
+    )
+    from standardized_omop_data_etl_spark.sources.generators import (
+        base_sequences,
+        change_log,
+    )
+    from standardized_omop_data_etl_spark.sources.lake import LakeTable
+    from standardized_omop_data_etl_spark.streaming import stream_changelog_from
+
+    base = base_sequences(spark, 150, seed=21, max_len=24)
+    log = change_log(spark, 600, 150, seed=21, max_len=24)
+    log_dir = str(tmp_path / "binlog")
+    os.makedirs(log_dir)
+    for i, (lo, hi) in enumerate([(0, 300), (300, 600)]):
+        log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)).coalesce(
+            1
+        ).write.parquet(f"{log_dir}/seg{i}.parquet")
+
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=base.schema, key_col="doc_id",
+        num_buckets=4, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    view, consumer = materialize_view(
+        spark, str(tmp_path / "v"), tbl, ["source"], ["n_tok"], name="sv"
+    )
+
+    stream = spark.readStream.schema(log.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(log_dir + "/*")
+    q = stream_changelog_from(
+        stream, tbl, str(tmp_path / "ckpt"), trigger_once=True,
+        views=[(view, consumer, ["source"], ["n_tok"])],
+    )
+    q.awaitTermination(240)
+
+    got = (
+        view.read().drop(MV_KEY_COL).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    want = (
+        bootstrap_agg(tbl.read(), ["source"], ["n_tok"]).toPandas()
+        .sort_values("source").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # restart on the same checkpoint: no new files -> table AND view stable
+    v_t, v_v = tbl.current_version(), view.current_version()
+    q2 = stream_changelog_from(
+        stream, tbl, str(tmp_path / "ckpt"), trigger_once=True,
+        views=[(view, consumer, ["source"], ["n_tok"])],
+    )
+    q2.awaitTermination(120)
+    assert (tbl.current_version(), view.current_version()) == (v_t, v_v)
