@@ -175,18 +175,29 @@ def read_changes(
     )
     # Before side: 3-column (key, lsn, deleted) visibility probe — or, with
     # before-images requested, the full payload at v_from (cost disclosed in
-    # the docstring); payload columns come out _before_-prefixed.
+    # the docstring); payload columns come out _before_-prefixed. A column
+    # ADDED between the two versions has no before-image by definition:
+    # read only what existed at v_from and pad the rest as typed NULLs.
     b_payload = [c for c in user_cols if c != key] if include_before else []
+    from_cols = {f["name"] for f in m_from["schema"]["fields"]}
+    b_read = [c for c in b_payload if c in from_cols]
     before = (
         table.read(
             version=from_version, buckets=buckets, include_hidden=True,
-            columns=[key, LSN_COL, DELETED_COL] + b_payload,
+            columns=[key, LSN_COL, DELETED_COL] + b_read,
         )
         .withColumnRenamed(LSN_COL, "_b_lsn")
         .withColumnRenamed(DELETED_COL, "_b_del")
     )
-    for c in b_payload:
+    for c in b_read:
         before = before.withColumnRenamed(c, BEFORE_PREFIX + c)
+    if include_before and len(b_read) < len(b_payload):
+        to_types = {f.name: f.dataType for f in table.schema(to_version).fields}
+        for c in b_payload:
+            if c not in from_cols:
+                before = before.withColumn(
+                    BEFORE_PREFIX + c, F.lit(None).cast(to_types[c])
+                )
     # Same probe-sizing gate as the MERGE kernel: manifest key counts are
     # free; under the cap the payload side streams with NO exchange. With
     # full-width before rows the cap tightens by a width factor.

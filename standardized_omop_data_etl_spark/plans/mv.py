@@ -95,11 +95,21 @@ def apply_agg_deltas(
     sum_cols = sum_cols or []
     measures = [COUNT_COL] + [_sum_col(v) for v in sum_cols]
     d = deltas.select(
-        *group_cols, *[F.col(m).alias(f"_d_{m}") for m in measures]
+        *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+        *[F.col(m).alias(f"_d_{m}") for m in measures],
     )
-    j = view.join(d, on=group_cols, how="full")
+    # NULL is a legitimate group value (e.g. a column added mid-stream):
+    # join null-SAFELY, else the view's NULL group and its delta never meet
+    cond = None
+    for c in group_cols:
+        eq = view[c].eqNullSafe(d[f"_g_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    j = view.join(d, on=cond, how="full")
     out = j.select(
-        *group_cols,
+        *[
+            F.coalesce(view[c], d[f"_g_{c}"]).alias(c)
+            for c in group_cols
+        ],
         *[
             (F.coalesce(F.col(m), F.lit(0)) + F.coalesce(F.col(f"_d_{m}"), F.lit(0)))
             .cast("long" if m == COUNT_COL else "double")
@@ -224,13 +234,19 @@ def refresh_view(
         pos = consumer.position()
         deltas = agg_deltas(feed, group_cols, sum_cols)
         d = deltas.select(
-            *group_cols, *[F.col(m).alias(f"_d_{m}") for m in measures]
+            *[F.col(c).alias(f"_g_{c}") for c in group_cols],
+            *[F.col(m).alias(f"_d_{m}") for m in measures],
         )
-        # touched groups only: right join current state onto the deltas
+        # touched groups only: right join current state onto the deltas —
+        # null-SAFE on the group key (NULL is a legitimate group value)
         cur = view.read().drop(MV_KEY_COL)
-        j = cur.join(d, on=group_cols, how="right")
+        cond = None
+        for c in group_cols:
+            eq = cur[c].eqNullSafe(d[f"_g_{c}"])
+            cond = eq if cond is None else (cond & eq)
+        j = cur.join(d, on=cond, how="right")
         vals = j.select(
-            *group_cols,
+            *[F.col(f"_g_{c}").alias(c) for c in group_cols],
             *[
                 (
                     F.coalesce(F.col(m), F.lit(0))

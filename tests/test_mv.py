@@ -264,3 +264,58 @@ def test_persisted_view_group_deletes_tombstone(spark, tmp_path):
         r["source"]: (r["mv_count"], r["mv_sum_n_tok"]) for r in view.read().collect()
     }
     assert got == {"s1": (1, 2.0), "s2": (1, 1.0)}
+
+
+def test_agg_deltas_plan_prunes_payload_columns(spark, table):
+    """The delta plan must never read the tokens arrays: Catalyst pushes
+    agg_deltas' column needs through the feed's join/classification, so a
+    view refresh scans (key, lsn, deleted, group, sum) — not payloads."""
+    tbl, v0, _, _ = table
+    feed = read_changes(tbl, v0, tbl.current_version(), include_before=True)
+    d = agg_deltas(feed, ["source"], ["n_tok"])
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "tokens" not in plan, plan
+
+
+def test_before_images_across_schema_evolution(spark, tmp_path):
+    """A column added between the two snapshot versions has no before-image
+    by definition: the feed pads `_before_<new>` as NULL instead of failing
+    to read a column that didn't exist at v_from; MV maintenance over the
+    evolved column works from the evolution epoch onward."""
+    from standardized_omop_data_etl_spark.sources.generators import (
+        with_added_column,
+    )
+
+    base = base_sequences(spark, 300, seed=13, max_len=24)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=base.schema,
+        key_col="doc_id", num_buckets=4, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    log = change_log(spark, 800, 300, seed=13, max_len=24)
+    e1 = log.filter(F.col("lsn") < 400)
+    e2 = with_added_column(log.filter(F.col("lsn") >= 400), from_lsn=400)
+    replay_log(tbl, e1, num_epochs=1, epoch_prefix="a")
+    v1 = tbl.current_version()
+    replay_log(tbl, e2, num_epochs=1, epoch_prefix="b")
+
+    feed = read_changes(tbl, v1, tbl.current_version(), include_before=True)
+    pdf = feed.toPandas()
+    assert BEFORE_PREFIX + "lang" in pdf.columns
+    # nothing carried a lang at v_from — every before-image of it is NULL
+    assert pdf[BEFORE_PREFIX + "lang"].isna().all()
+    # but pre-existing columns keep real before-images on updates
+    upd = pdf[pdf[CHANGE_OP_COL] == "update"]
+    assert len(upd) > 0 and upd[BEFORE_PREFIX + "n_tok"].notna().all()
+
+    # and the deltas still reconcile: incremental == recompute over the
+    # evolved grouping column (NULL group collects the pre-evolution rows)
+    pre = tbl.read(version=v1).withColumn("lang", F.lit(None).cast("string"))
+    view = bootstrap_agg(pre, ["lang"], ["n_tok"])
+    view = apply_agg_deltas(
+        view, agg_deltas(feed, ["lang"], ["n_tok"]), ["lang"], ["n_tok"]
+    )
+    want = bootstrap_agg(tbl.read(), ["lang"], ["n_tok"])
+    got = view.toPandas().sort_values("lang", na_position="first").reset_index(drop=True)
+    want = want.toPandas().sort_values("lang", na_position="first").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
