@@ -54,6 +54,13 @@ CHANGE_OP_COL = "_change_op"
 CHANGE_LSN_COL = "_change_lsn"
 BEFORE_PREFIX = "_before_"
 
+# Above BROADCAST_KEYS_MAX the before side shuffle-hash-joins (no sort); an
+# explicit hint, though, is binding — AQE cannot demote it when the build
+# side outgrows executor memory. Past this many estimated before-rows the
+# join is left unhinted so AQE can pick a spill-friendly sort-merge.
+# 64M keys / a few hundred shuffle partitions ≈ low-hundreds-of-MB builds.
+SHUFFLE_HASH_KEYS_MAX = 64_000_000
+
 
 class ChangeFeedUnavailableError(RuntimeError):
     """The requested version range cannot produce a faithful change feed
@@ -207,11 +214,16 @@ def read_changes(
     else:
         before_est = sum(int(key_counts.get(str(b), 0)) for b in buckets)
     cap = BROADCAST_KEYS_MAX // 16 if include_before else BROADCAST_KEYS_MAX
-    before_side = (
-        F.broadcast(before)
-        if before_est <= cap
-        else before.hint("shuffle_hash")
-    )
+    if before_est <= cap:
+        before_side = F.broadcast(before)
+    elif before_est <= SHUFFLE_HASH_KEYS_MAX:
+        before_side = before.hint("shuffle_hash")
+    else:
+        # an explicit shuffle_hash hint overrides AQE and will OOM the build
+        # side once a partition's share no longer fits executor memory —
+        # past this bound leave the join unhinted (AQE picks, typically
+        # sort-merge, which spills instead of failing)
+        before_side = before
     # Linear history: every before-row still exists at v_to (live, tombstoned
     # or rewritten), so a LEFT join suffices. Under allow_gc the range may
     # contain a vacuum that physically removed rows — a FULL join lets the
