@@ -48,18 +48,11 @@ from typing import Any
 import pyspark.sql.functions as F
 
 from ..sources.lake import DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable
-from .merge import BROADCAST_KEYS_MAX
+from .merge import BROADCAST_KEYS_MAX, SHUFFLE_HASH_KEYS_MAX
 
 CHANGE_OP_COL = "_change_op"
 CHANGE_LSN_COL = "_change_lsn"
 BEFORE_PREFIX = "_before_"
-
-# Above BROADCAST_KEYS_MAX the before side shuffle-hash-joins (no sort); an
-# explicit hint, though, is binding — AQE cannot demote it when the build
-# side outgrows executor memory. Past this many estimated before-rows the
-# join is left unhinted so AQE can pick a spill-friendly sort-merge.
-# 64M keys / a few hundred shuffle partitions ≈ low-hundreds-of-MB builds.
-SHUFFLE_HASH_KEYS_MAX = 64_000_000
 
 
 class ChangeFeedUnavailableError(RuntimeError):

@@ -100,6 +100,25 @@ VALID_OPS = ("insert", "update", "delete", "upsert")
 # existence check) plus one bucket-aligned repartition before the write.
 BROADCAST_KEYS_MAX = 4_000_000
 
+# Above BROADCAST_KEYS_MAX the narrow key sides shuffle-hash-join (no sort,
+# no plan flapping). An explicit hint is BINDING though — AQE cannot demote
+# it when a partition's build share outgrows executor memory — so past this
+# many estimated rows the join is left unhinted and AQE picks a
+# spill-friendly sort-merge instead of failing the stage.
+SHUFFLE_HASH_KEYS_MAX = 64_000_000
+
+
+def _keyed_join_side(df, rows_est: int):
+    """Size-tiered join side for a narrow key frame: broadcast under the
+    broadcast cap, explicit shuffle-hash under the hash-build cap, unhinted
+    (AQE) past it."""
+    if rows_est <= BROADCAST_KEYS_MAX:
+        return F.broadcast(df)
+    if rows_est <= SHUFFLE_HASH_KEYS_MAX:
+        return df.hint("shuffle_hash")
+    return df
+
+
 
 # mode="auto" crossover knobs (see resolve_merge_mode). The endurance
 # campaigns (BENCH/endurance_*_r03.json: 20 epochs × 2M events) give the
@@ -496,11 +515,7 @@ def _merge_into_locked(
             buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
         ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
         tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
-        tgt_side = (
-            F.broadcast(tgt_keys)
-            if tgt_rows_est <= BROADCAST_KEYS_MAX
-            else tgt_keys.hint("shuffle_hash")
-        )
+        tgt_side = _keyed_join_side(tgt_keys, tgt_rows_est)
         narrow = srcr.select(key, lsn_col, op_col, "_bucket", "_n_events").join(
             tgt_side, on=key, how="left"
         )
@@ -595,7 +610,7 @@ def _merge_into_locked(
                 if count <= BROADCAST_KEYS_MAX:
                     return base.join(F.broadcast(ks), on=key, how=how)
                 shuffled = True
-                return base.join(ks.hint("shuffle_hash"), on=key, how=how)
+                return base.join(_keyed_join_side(ks, count), on=key, how=how)
 
             if n_stale == 0:
                 applied_rows = srcr  # nothing to drop: every LWW winner applies
@@ -811,11 +826,7 @@ def _merge_mor_locked(
     # is known small for free (distinct keys = rows the resolved include_hidden
     # scan materializes), so the delta side streams with no exchange
     tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
-    tgt_side = (
-        F.broadcast(tgt_keys)
-        if tgt_rows_est <= BROADCAST_KEYS_MAX
-        else tgt_keys.hint("shuffle_hash")
-    )
+    tgt_side = _keyed_join_side(tgt_keys, tgt_rows_est)
     narrow = srcn.join(tgt_side, on=key, how="left")
     newer = F.col("_t_lsn").isNull() | (F.col(LSN_COL) > F.col("_t_lsn"))
     t_missing = F.col("_t_lsn").isNull()
