@@ -196,12 +196,28 @@ def _mv_applied_head(view, consumer) -> int | None:
     return max(heads) if heads else None
 
 
+def _touched_fraction(source, pos: int, head: int) -> float:
+    """Fraction of the source's resident rows living in buckets the range
+    touched — free from the two endpoint manifests. 1.0 when bucket layouts
+    aren't comparable (rebucket in between)."""
+    from .change_feed import changed_buckets
+
+    m_from, m_to = source.manifest(pos), source.manifest(head)
+    touched = changed_buckets(m_from, m_to)
+    counts = {int(k): int(v) for k, v in m_to.get("row_counts", {}).items()}
+    total = sum(counts.values())
+    if touched is None or total == 0:
+        return 1.0
+    return sum(counts.get(b, 0) for b in touched) / total
+
+
 def refresh_view(
     view,
     consumer,
     group_cols: list[str],
     sum_cols: list[str] | None = None,
     allow_gc: bool = False,
+    strategy: str = "auto",
 ) -> list:
     """Drain the consumer into the persisted view — incremental, exactly
     once, resumable:
@@ -215,9 +231,24 @@ def refresh_view(
     * racing maintainers sharing a consumer name collapse the same way: one
       MERGE wins the ledger, the loser's commit CAS fails and it re-polls.
 
+    ``strategy`` picks how the new group values are computed — the MERGE
+    application and exactly-once bookkeeping are identical either way:
+
+    * ``"incremental"`` — feed deltas (2 pruned scans of TOUCHED buckets at
+      the two versions + the change-volume join);
+    * ``"recompute"`` — one pruned full re-aggregate, merged as upserts plus
+      deletes of groups that vanished (still position-keyed: cheaper than
+      deltas whenever the range touched most of the table);
+    * ``"auto"`` (default) — recompute when the range's touched buckets hold
+      ≥ half the table's rows (incremental then costs ~2× the recompute
+      scan — the measured model in BENCH/BASELINE.md's mv_bench table),
+      incremental otherwise.
+
     Returns the MergeResults of epochs actually applied this call."""
     from .merge import merge_into
 
+    if strategy not in ("auto", "incremental", "recompute"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     sum_cols = sum_cols or []
     measures = [COUNT_COL] + [_sum_col(v) for v in sum_cols]
     results = []
@@ -232,6 +263,35 @@ def refresh_view(
             return results
         feed, head = got
         pos = consumer.position()
+        use_recompute = strategy == "recompute" or (
+            strategy == "auto"
+            and _touched_fraction(consumer.table, pos, head) >= 0.5
+        )
+        if use_recompute:
+            fresh = bootstrap_agg(
+                consumer.table.read(version=head), group_cols, sum_cols
+            ).withColumn(MV_KEY_COL, _mv_key(group_cols))
+            gone = view.read().select(MV_KEY_COL, *group_cols).join(
+                fresh.select(MV_KEY_COL), on=MV_KEY_COL, how="left_anti"
+            )
+            batch = fresh.select(
+                F.lit(head).cast("long").alias("lsn"),
+                F.lit("upsert").alias("op"),
+                MV_KEY_COL, *group_cols, *measures,
+            ).unionByName(
+                gone.select(
+                    F.lit(head).cast("long").alias("lsn"),
+                    F.lit("delete").alias("op"),
+                    MV_KEY_COL, *group_cols,
+                    *[F.lit(None).cast("long" if m == COUNT_COL else "double").alias(m) for m in measures],
+                )
+            )
+            r = merge_into(view, batch, epoch=f"mv:{consumer.name}:from-{pos}")
+            if not r.skipped:
+                results.append(r)
+            if not r.skipped and not consumer.commit(head):
+                continue
+            continue
         deltas = agg_deltas(feed, group_cols, sum_cols)
         d = deltas.select(
             *[F.col(c).alias(f"_g_{c}") for c in group_cols],

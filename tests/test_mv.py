@@ -319,3 +319,65 @@ def test_before_images_across_schema_evolution(spark, tmp_path):
     got = view.toPandas().sort_values("lang", na_position="first").reset_index(drop=True)
     want = want.toPandas().sort_values("lang", na_position="first").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_refresh_strategies_equivalent_and_auto_picks(spark, tmp_path):
+    """strategy='recompute' must land the identical view state through the
+    same position-keyed epoch; 'auto' picks recompute for a range touching
+    most buckets and incremental for a bucket-local one."""
+    from standardized_omop_data_etl_spark.plans.mv import (
+        MV_KEY_COL,
+        _touched_fraction,
+        materialize_view,
+        refresh_view,
+    )
+    from standardized_omop_data_etl_spark.sources.lake import bucket_expr
+
+    base = base_sequences(spark, 400, seed=17, max_len=24)
+    log = change_log(spark, 1000, 400, seed=17, max_len=24)
+
+    def build(name, strategy):
+        src = LakeTable.create(
+            spark, str(tmp_path / f"s_{name}"), schema=base.schema,
+            key_col="doc_id", num_buckets=8, overwrite=True,
+        )
+        src.overwrite_full(base)
+        view, c = materialize_view(
+            spark, str(tmp_path / f"v_{name}"), src, ["source"], ["n_tok"],
+            name=name,
+        )
+        replay_log(src, log, num_epochs=2)
+        refresh_view(view, c, ["source"], ["n_tok"], strategy=strategy)
+        return src, view
+
+    states = {}
+    for strat in ("incremental", "recompute", "auto"):
+        src, view = build(strat, strat)
+        states[strat] = (
+            view.read().drop(MV_KEY_COL).toPandas()
+            .sort_values("source").reset_index(drop=True)
+        )
+        want = (
+            bootstrap_agg(src.read(), ["source"], ["n_tok"]).toPandas()
+            .sort_values("source").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(states[strat], want, check_dtype=False)
+    pd.testing.assert_frame_equal(states["incremental"], states["recompute"])
+
+    # chooser inputs: a uniform range touches ~all buckets (fraction ~1),
+    # a bucket-local range touches a small share
+    src = LakeTable.create(
+        spark, str(tmp_path / "s_frac"), schema=base.schema,
+        key_col="doc_id", num_buckets=8, overwrite=True,
+    )
+    src.overwrite_full(base)
+    v0 = src.current_version()
+    replay_log(src, log, num_epochs=1, epoch_prefix="u")
+    v1 = src.current_version()
+    local_log = log.filter(bucket_expr("doc_id", 8) == 0).withColumn(
+        "lsn", F.col("lsn") + 10_000
+    )
+    replay_log(src, local_log, num_epochs=1, epoch_prefix="l")
+    v2 = src.current_version()
+    assert _touched_fraction(src, v0, v1) > 0.9   # uniform -> recompute zone
+    assert _touched_fraction(src, v1, v2) < 0.5   # local -> incremental zone
