@@ -381,3 +381,28 @@ def test_refresh_strategies_equivalent_and_auto_picks(spark, tmp_path):
     v2 = src.current_version()
     assert _touched_fraction(src, v0, v1) > 0.9   # uniform -> recompute zone
     assert _touched_fraction(src, v1, v2) < 0.5   # local -> incremental zone
+
+
+def test_agg_deltas_derived_group_pattern(spark, table):
+    """Grouping by a DERIVED column works when the caller derives its
+    _before_ twin too — agg_deltas reads BEFORE_PREFIX+group mechanically,
+    so any expression computed over both images becomes a valid group."""
+    tbl, v0, _, _ = table
+    band = lambda c: (F.col(c) / 8).cast("int")  # noqa: E731
+    feed = read_changes(tbl, v0, tbl.current_version(), include_before=True)
+    feed = feed.withColumn("len_band", band("n_tok")).withColumn(
+        BEFORE_PREFIX + "len_band", band(BEFORE_PREFIX + "n_tok")
+    )
+    view = bootstrap_agg(
+        tbl.read(version=v0).withColumn("len_band", band("n_tok")),
+        ["len_band"], ["n_tok"],
+    )
+    view = apply_agg_deltas(
+        view, agg_deltas(feed, ["len_band"], ["n_tok"]), ["len_band"], ["n_tok"]
+    )
+    want = bootstrap_agg(
+        tbl.read().withColumn("len_band", band("n_tok")), ["len_band"], ["n_tok"]
+    )
+    got = view.toPandas().sort_values("len_band").reset_index(drop=True)
+    want = want.toPandas().sort_values("len_band").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

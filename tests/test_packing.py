@@ -133,3 +133,14 @@ def test_pack_stats_both_shapes(spark, docs):
     assert (f["fill_ratio"] <= 1.0).all()
     # chunk packs strictly fewer-or-equal packs than no-split FFD on same data
     assert c["packs"].sum() <= f["packs"].sum() + f["unpackable"].sum() * 4
+
+
+def test_balanced_shards_no_row_level_single_partition(spark, docs):
+    """The global rank must be distributed: the only SinglePartition
+    exchange allowed is over the O(partitions)-row counts frame, never the
+    row stream (regression guard for the naked-Window.orderBy trap)."""
+    plan = (
+        balanced_shards(docs, 8)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "rangepartitioning" in plan, plan
