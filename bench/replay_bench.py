@@ -22,6 +22,7 @@ import time
 
 from pyspark.sql import SparkSession
 
+from standardized_omop_data_etl_spark.plans.maintenance import MaintenancePolicy
 from standardized_omop_data_etl_spark.plans.replay import replay_log
 from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
 from standardized_omop_data_etl_spark.sources.lake import LakeTable
@@ -35,10 +36,17 @@ def main() -> None:
     ap.add_argument("--max-len", type=int, default=128)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=0, help="salt partitions for hot keys (0=off)")
-    ap.add_argument("--mode", choices=("cow", "mor"), default="cow",
-                    help="merge apply mode (mor = append-only deltas + read-time LWW)")
-    ap.add_argument("--lww", choices=("window", "narrow"), default="window",
-                    help="LWW kernel (narrow = map-side max + winners-only payload shuffle)")
+    ap.add_argument("--mode", choices=("cow", "mor", "auto"), default="auto",
+                    help="merge apply mode (mor = append-only deltas + read-time "
+                         "LWW; auto = resolve per epoch from table/batch size, "
+                         "the library default)")
+    ap.add_argument("--lww", choices=("window", "narrow", "auto"), default="auto",
+                    help="LWW kernel (narrow = map-side max + winners-only payload "
+                         "shuffle; auto = resolve per epoch shape, the library default)")
+    ap.add_argument("--maintain-every", type=int, default=0,
+                    help="run the in-loop MaintenancePolicy sweep (compaction + "
+                         "tombstone vacuum) every N applied epochs — the deployed "
+                         "configuration for sustained mor ingest; 0 = off")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--workdir", default="/tmp/replay_bench")
     ap.add_argument("--keep-input", action="store_true",
@@ -83,10 +91,14 @@ def main() -> None:
     bootstrap_sec = time.time() - t0
 
     t1 = time.time()
+    policy = None
+    if args.maintain_every:
+        policy = MaintenancePolicy(every_epochs=args.maintain_every,
+                                   max_files_per_bucket=2, vacuum=True)
     results = replay_log(tbl, log, num_epochs=args.epochs,
                          salt_partitions=args.salt or None,
                          lsn_range=(0, args.events - 1), mode=args.mode,
-                         lww_strategy=args.lww)
+                         lww_strategy=args.lww, maintenance=policy)
     wall = time.time() - t1
     applied = sum(r.metrics.get("events_seen", 0) for r in results)
     rows = tbl.read().count()
@@ -105,6 +117,7 @@ def main() -> None:
         "salt": args.salt,
         "mode": args.mode,
         "lww": args.lww,
+        "maintain_every": args.maintain_every,
     }))
     shutil.rmtree(table_path, ignore_errors=True)
 

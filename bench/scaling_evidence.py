@@ -49,7 +49,7 @@ def wait_quiet(load_max: float, max_wait_sec: float = 900.0) -> float:
 
 
 def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
-             keep: bool, mode: str, lww: str) -> dict:
+             keep: bool, mode: str, lww: str, maintain_every: int = 0) -> dict:
     cmd = []
     if os.environ.get("SCALE_TASKSET") == "1":
         # Pin the WHOLE JVM (task threads + GC + IO + codegen) to exactly
@@ -69,6 +69,7 @@ def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
         os.path.join(REPO, "bench", "replay_bench.py"),
         "--events", str(events), "--docs", str(docs), "--epochs", str(epochs),
         "--buckets", "64", "--workdir", workdir, "--mode", mode, "--lww", lww,
+        "--maintain-every", str(maintain_every),
     ]
     if keep:
         cmd.append("--keep-input")
@@ -89,7 +90,8 @@ def main() -> None:
     reps = int(os.environ.get("SCALE_REPS", "4"))
     n = int(os.environ.get("SCALE_N", "8"))  # the N of "N and 4N cores"
     mode = os.environ.get("SCALE_MODE", "cow")
-    lww = os.environ.get("SCALE_LWW", "window")
+    lww = os.environ.get("SCALE_LWW", "auto")
+    maintain_every = int(os.environ.get("SCALE_MAINTAIN", "0"))
     load_max = float(os.environ.get("SCALE_LOAD_MAX", "2.5"))
     workdir = os.environ.get("SCALE_WORKDIR", "/dev/shm/rb_evidence")
     out_name = os.environ.get("SCALE_OUT", f"scaling_evidence_{n}_{4*n}.json")
@@ -104,7 +106,7 @@ def main() -> None:
             subprocess.run(["sync"])
             load = wait_quiet(load_max)
             r = run_once(cores, events, docs, epochs, workdir, keep=not first,
-                         mode=mode, lww=lww)
+                         mode=mode, lww=lww, maintain_every=maintain_every)
             first = False
             results[cores].append(r)
             leg = {"rep": rep, "cores": cores,
@@ -134,7 +136,8 @@ def main() -> None:
     )
     summary["config"] = {
         "events": events, "docs": docs, "epochs": epochs, "reps": reps, "cores": pair,
-        "mode": mode, "lww": lww, "pinned": os.environ.get("SCALE_TASKSET") == "1",
+        "mode": mode, "lww": lww, "maintain_every": maintain_every,
+        "pinned": os.environ.get("SCALE_TASKSET") == "1",
         "load_gate": load_max,
     }
     summary["legs"] = legs

@@ -139,6 +139,7 @@ def lww_latest_narrow(
     num_partitions: int | None = None,
     broadcast_winners: bool | str = "auto",
     broadcast_keys_max: int = BROADCAST_KEYS_MAX,
+    keys_bound: int | None = None,
 ) -> DataFrame:
     """Two-phase narrow-max LWW: bit-identical winners to ``lww_latest``,
     but the wide shuffle moves only the WINNERS' payloads, not every event.
@@ -177,6 +178,14 @@ def lww_latest_narrow(
          (caller guarantees a bounded key set) or force the shuffled
          candidate join (kept for A/B measurement — ``lww_strategy`` callers
          never reach it; prefer ``lww_latest`` when key-heavy).
+
+       ``keys_bound`` short-circuits the ``"auto"`` probe: a caller that
+       knows a HARD upper bound on the batch's row count (a replay epoch's
+       LSN span, an offsets delta) passes it here, and since distinct keys
+       ≤ rows, a bound under the margin proves the broadcast safe with no
+       probe job. It must be a true bound, not an estimate — an
+       under-report defeats the size guard. Bounds past the margin just
+       fall through to the probe (many rows may still be few keys).
     3. The existing deterministic tie-break (xxhash64 over the full payload,
        identical column order to ``lww_latest``) picks one row per key among
        the few order-tied candidates; its window exchange doubles as the
@@ -198,6 +207,14 @@ def lww_latest_narrow(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = list(df.columns)
+    if broadcast_winners == "auto" and keys_bound is not None:
+        # distinct keys ≤ rows: a HARD row bound under the margin proves the
+        # winner set broadcastable with no probe job at all (the common
+        # bounded-epoch replay shape — one fewer batch scan per epoch); a
+        # bound past the margin proves nothing (keys may still be few), so
+        # fall through to the HLL probe rather than abandoning the kernel.
+        if keys_bound <= AUTO_BROADCAST_MARGIN * broadcast_keys_max:
+            broadcast_winners = True
     if broadcast_winners == "auto":
         est = df.agg(
             F.approx_count_distinct(

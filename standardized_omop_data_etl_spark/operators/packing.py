@@ -96,10 +96,13 @@ def chunk_pack(
     return (
         with_off.withColumn(
             "_k",
+            # `div` is exact long division; double `/` + cast is exact only
+            # while quotients stay far below 2^53 / cap — true at any sane
+            # scale, but the integer form costs nothing and has no seam
             F.explode(
                 F.sequence(
-                    (F.col("_c0") / cap).cast("long"),
-                    ((F.col("_c0") + F.col("_len") - 1) / cap).cast("long"),
+                    F.expr(f"_c0 div {int(capacity)}"),
+                    F.expr(f"(_c0 + _len - 1) div {int(capacity)}"),
                 )
             ),
         )

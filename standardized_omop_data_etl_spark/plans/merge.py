@@ -126,11 +126,15 @@ def _keyed_join_side(df, rows_est: int):
 # key-scale probe) while cow drifts up with table size (the rewrite of every
 # touched bucket re-copies all its resident rows). A uniform-key micro-batch
 # touches essentially every bucket once batch_keys ≳ a few × num_buckets, so
-# cow's write amplification ≈ table_rows / batch_rows; past ~4× the rewrite
-# dominates the epoch and mor + scheduled compaction is strictly cheaper
-# (r3 measured mor 23% faster end-to-end INCLUDING a full materializing
-# compaction at table_rows/batch ≈ 0.4 — 4.0 is conservative).
-AUTO_MOR_REWRITE_AMPLIFICATION = 4.0
+# cow's write amplification ≈ table_rows / batch_rows. Write-path accounting
+# says mor ingests faster at essentially ANY ratio (cow pays scratch + rewrite
+# ≈ (2 + ratio) × batch writes; mor pays one delta write + the probe), and
+# both direct measurements agree: mor +23% at ratio ≈ 0.4 INCLUDING a full
+# materializing compaction (r3), +20% at ratio ≈ 0.85 (r4, 16M/8-epoch
+# pinned legs — BENCH/BASELINE.md). The threshold therefore only protects
+# the bootstrap/backfill shape, where the batch RESCALES the table and cow's
+# pure-parquet output is worth the (small, comparable-cost) rewrite:
+AUTO_MOR_REWRITE_AMPLIFICATION = 0.5
 # fallback when the caller can't estimate the batch size: past this many
 # resident rows, routine micro-batches are always small relative to the
 # table, so auto picks mor on table size alone.
@@ -238,6 +242,7 @@ def merge_into(
     missing: str = "null",
     lww_strategy: str = "auto",
     batch_rows_est: int | None = None,
+    batch_rows_bound: int | None = None,
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
     enforced via the table's writer lease (a concurrent merge raises
@@ -274,6 +279,14 @@ def merge_into(
     shuffle of every payload; pair with ``salt_partitions`` for degenerate
     order columns where one key's MAX LSN itself is massively duplicated —
     replay LSNs are unique per key, so that arises only off-contract).
+
+    ``batch_rows_est`` is an ESTIMATE feeding the mode/kernel choice (over-
+    reporting biases toward cow/window — safe either way);
+    ``batch_rows_bound`` is a HARD upper bound on the batch's row count (a
+    replay epoch's LSN span, an offsets-manifest delta) and feeds the narrow
+    kernel's broadcast size guard: under the broadcast margin it proves the
+    winner set broadcastable and skips the per-epoch HLL probe job entirely.
+    Pass it only when it is a true bound — an under-report defeats the guard.
     """
     if mode not in ("cow", "mor", "auto"):
         raise ValueError(
@@ -307,7 +320,7 @@ def merge_into(
         fn = _merge_mor_locked if mode == "mor" else _merge_into_locked
         return fn(
             table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
-            lease_owner, missing, lww_strategy,
+            lease_owner, missing, lww_strategy, batch_rows_bound,
         )
     finally:
         table.release_writer_lease(lease_owner)
@@ -320,6 +333,7 @@ def _lww_winners(
     salt_partitions: int | None,
     num_buckets: int,
     strategy: str,
+    rows_bound: int | None = None,
 ) -> DataFrame:
     """Per-key LWW winners, bucket-aligned (one exchange pinned to
     ``num_buckets``), with the collapsed-event count in ``_n_events``.
@@ -342,6 +356,7 @@ def _lww_winners(
         return lww_latest_narrow(
             batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets,
             broadcast_winners="auto", broadcast_keys_max=BROADCAST_KEYS_MAX,
+            keys_bound=rows_bound,
         )
     src = lww_latest(
         batch,
@@ -421,6 +436,7 @@ def _merge_into_locked(
     lease_owner: str,
     missing: str = "null",
     lww_strategy: str = "narrow",
+    batch_rows_bound: int | None = None,
 ) -> MergeResult:
     timing = os.environ.get("SODES_MERGE_TIMING") == "1"
     marks: list[tuple[str, float]] = [("start", time.time())]
@@ -460,7 +476,8 @@ def _merge_into_locked(
     batch = batch.filter(
         F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
     )
-    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
+    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets,
+                              lww_strategy, rows_bound=batch_rows_bound)
     src = winners_df.withColumn("_bucket", bucket_expr(key, num_buckets))
     scratch_dir = table.fs.join(
         table.path, DATA_DIR, f"scratch-{re.sub(r'[^A-Za-z0-9_.-]', '_', epoch)}-{uuid.uuid4().hex[:8]}"
@@ -708,6 +725,7 @@ def _merge_mor_locked(
     lease_owner: str,
     missing: str = "null",
     lww_strategy: str = "narrow",
+    batch_rows_bound: int | None = None,
 ) -> MergeResult:
     """Merge-on-read apply: ONE payload write per epoch.
 
@@ -762,7 +780,8 @@ def _merge_mor_locked(
     batch = batch.filter(
         F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
     )
-    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets, lww_strategy)
+    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets,
+                              lww_strategy, rows_bound=batch_rows_bound)
     src = winners_df
     src_lineage = F.concat_ws(
         " | ",

@@ -94,8 +94,13 @@ def replay_log(
                 mode=mode,
                 lww_strategy=lww_strategy,
                 # the epoch's LSN span upper-bounds its event count — free,
-                # and over-estimating biases mode="auto" toward cow (safe)
+                # and over-estimating biases mode="auto" toward cow (safe).
+                # As a HARD bound it also proves the narrow kernel's winner
+                # broadcast safe when under the cap, skipping the per-epoch
+                # HLL probe job (LSNs are unique integers, so at most hi-lo
+                # events exist in [lo, hi)).
                 batch_rows_est=hi - lo,
+                batch_rows_bound=hi - lo,
             )
         )
         if maintenance is not None and not results[-1].skipped:

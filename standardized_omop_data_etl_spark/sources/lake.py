@@ -483,8 +483,40 @@ class LakeTable:
         and each epoch's winners are LWW-unique per key), so ties only arise
         from byte-identical duplicate rows, where any pick is the same row. A
         hypothetical upstream that emitted two DIFFERENT payloads under one
-        (key, lsn) would resolve per-projection until compaction pins one."""
+        (key, lsn) would resolve per-projection until compaction pins one.
+
+        Two physical forms, same pick:
+
+        * narrow (array-free) scans — ``max`` over a ``(lsn, tie, payload…)``
+          struct, whose lexicographic order IS the (lsn desc, tie desc) sort.
+          It is map-side combinable: a key's N accumulated delta versions
+          collapse to one partial per scan partition BEFORE the exchange, so
+          the MERGE probe's cost stops growing with deltas-since-compaction
+          (the window form shuffled and sorted every accumulated version —
+          measured 2-3x the probe wall at 8 uncompacted epochs and the worst
+          scaling phase of the whole merge at 1→4 cores);
+        * payload scans (array columns, e.g. ``tokens``) — the windowed sort:
+          max-over-struct on complex types forces ObjectHashAggregate whose
+          per-row struct buffers measured slower than the sort it replaces.
+        """
         tie = F.xxhash64(*[F.col(c) for c in df.columns])
+        narrow = not any(
+            isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            for f in df.schema.fields
+        )
+        if narrow:
+            rest = [c for c in df.columns if c not in (key, LSN_COL)]
+            packed = F.struct(
+                F.col(LSN_COL).alias("_o"),
+                tie.alias("_t"),
+                *[F.col(c).alias(c) for c in rest],
+            )
+            won = df.groupBy(key).agg(F.max(packed).alias("_w"))
+            return won.select(
+                F.col(key),
+                F.col("_w").getField("_o").alias(LSN_COL),
+                *[F.col("_w").getField(c).alias(c) for c in rest],
+            ).select(*df.columns)
         w = Window.partitionBy(key).orderBy(F.col(LSN_COL).desc(), tie.desc())
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 

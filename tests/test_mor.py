@@ -198,23 +198,28 @@ def test_mor_salted_matches_plain(spark, tmp_path, fixtures):
 
 
 def test_resolve_merge_mode_chooser():
-    """Unit: the auto chooser's crossover. cow for bootstrap/backfill-shaped
-    epochs (batch rescales the table), mor once the batch is a small
-    fraction of resident rows; absolute-size fallback when the batch size
-    is unknown."""
+    """Unit: the auto chooser's crossover. cow only for bootstrap/backfill-
+    shaped epochs (the batch rescales the table — measured mor wins ingest
+    at every ratio ≥ 0.4, so the 0.5 threshold protects just that shape),
+    mor everywhere else; absolute-size fallback when the batch size is
+    unknown."""
     from standardized_omop_data_etl_spark.plans.merge import (
+        AUTO_MOR_REWRITE_AMPLIFICATION,
         AUTO_MOR_TABLE_ROWS_MIN,
         resolve_merge_mode,
     )
 
-    assert resolve_merge_mode(0, 1_000_000) == "cow"          # empty table
-    assert resolve_merge_mode(1_000_000, 1_000_000) == "cow"  # backfill-shaped
-    assert resolve_merge_mode(3_999_999, 1_000_000) == "cow"  # at 4x boundary
-    assert resolve_merge_mode(4_000_001, 1_000_000) == "mor"  # past crossover
-    assert resolve_merge_mode(100_000_000, 1_000) == "mor"    # steady tail
+    assert AUTO_MOR_REWRITE_AMPLIFICATION == 0.5  # retune ⇒ re-measure first
+    assert resolve_merge_mode(0, 1_000_000) == "cow"         # empty table
+    assert resolve_merge_mode(400_000, 1_000_000) == "cow"   # initial load 2.5x
+    assert resolve_merge_mode(499_999, 1_000_000) == "cow"   # at the boundary
+    assert resolve_merge_mode(500_001, 1_000_000) == "mor"   # past crossover
+    assert resolve_merge_mode(1_700_000, 2_000_000) == "mor"  # r4 measured +20%
+    assert resolve_merge_mode(100_000_000, 1_000) == "mor"   # steady tail
     assert resolve_merge_mode(AUTO_MOR_TABLE_ROWS_MIN - 1, None) == "cow"
     assert resolve_merge_mode(AUTO_MOR_TABLE_ROWS_MIN + 1, None) == "mor"
     # amplification override
+    assert resolve_merge_mode(2_000_000, 1_000_000, amplification=2.5) == "cow"
     assert resolve_merge_mode(2_000_000, 1_000_000, amplification=1.5) == "mor"
 
 

@@ -523,3 +523,43 @@ def test_lww_narrow_null_order_parity(spark):
                for r in lww_latest_narrow(df, "k", "lsn", descending=desc,
                                           broadcast_winners=True).collect()}
         assert win == nar, f"descending={desc}: {win} != {nar}"
+
+
+def test_lww_narrow_keys_bound_skips_probe(spark, monkeypatch):
+    """A hard row bound under the broadcast margin proves the winner set
+    broadcastable (distinct keys <= rows), so the auto path must broadcast
+    WITHOUT running the HLL probe job — one fewer batch scan per epoch.
+    A bound past the margin proves nothing and must fall through to the
+    probe."""
+    import standardized_omop_data_etl_spark.operators.lww as lww
+
+    df = spark.createDataFrame(
+        [(f"k{i}", j, f"v{i}-{j}") for i in range(50) for j in range(2)],
+        "k string, lsn int, v string",
+    )
+    probes = {"n": 0}
+    real = lww.F.approx_count_distinct
+
+    def counting(*a, **kw):
+        probes["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(lww.F, "approx_count_distinct", counting)
+
+    out = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n", keys_bound=100)
+    assert probes["n"] == 0, "probe ran despite a sub-margin keys_bound"
+    assert "BroadcastExchange" in _physical_plan(out)
+    got = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out.collect()}
+    exp = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in
+           lww_latest(df, "k", "lsn", count_col="_n").collect()}
+    assert got == exp
+
+    # bound past the margin: probe must still run (keys may be few or many)
+    out2 = lww.lww_latest_narrow(
+        df, "k", "lsn", count_col="_n",
+        broadcast_keys_max=10, keys_bound=1_000_000,
+    )
+    assert probes["n"] == 1, "over-margin keys_bound must fall through to the probe"
+    # 50 keys > margin*10 -> abandoned for the window kernel, same winners
+    got2 = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out2.collect()}
+    assert got2 == exp
