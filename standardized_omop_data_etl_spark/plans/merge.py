@@ -528,11 +528,26 @@ def _merge_into_locked(
         # threshold, explicit shuffle-hash: a sort-merge plan (AQE's
         # occasional pick at borderline sizes) pays two sorts for nothing,
         # and plan flapping makes throughput bimodal.
-        tgt_keys = table.read(
-            buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
-        ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
+        # Batch-keyed probe pruning: when the target outgrows the broadcast
+        # cap but the EPOCH's hard row bound fits it (winners ≤ batch rows),
+        # semi-join the winner keys below the scan — the pruned target is
+        # then batch-sized and broadcasts, so the probe does no table-sized
+        # exchange at all. Without the pruning, a >4M-key table forces the
+        # probe into shuffle-hash/sort-merge over EVERY resident key of the
+        # touched buckets per epoch — O(table) exchange for an O(batch)
+        # classification, the dominant per-epoch cost in the 10^10-row
+        # regime's routine micro-batches.
         tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
-        tgt_side = _keyed_join_side(tgt_keys, tgt_rows_est)
+        prune = (
+            tgt_rows_est > BROADCAST_KEYS_MAX
+            and batch_rows_bound is not None
+            and batch_rows_bound <= BROADCAST_KEYS_MAX
+        )
+        tgt_keys = table.read(
+            buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL],
+            key_filter=srcr.select(key) if prune else None,
+        ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
+        tgt_side = F.broadcast(tgt_keys) if prune else _keyed_join_side(tgt_keys, tgt_rows_est)
         narrow = srcr.select(key, lsn_col, op_col, "_bucket", "_n_events").join(
             tgt_side, on=key, how="left"
         )
@@ -838,14 +853,24 @@ def _merge_mor_locked(
         .parquet(*delta_files)
         .withColumn("_bucket", bucket_expr(key, num_buckets))
     )
-    tgt_keys = table.read(
-        buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL]
-    ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
     # manifest-sized broadcast, same policy as the cow probe: the target side
     # is known small for free (distinct keys = rows the resolved include_hidden
-    # scan materializes), so the delta side streams with no exchange
+    # scan materializes), so the delta side streams with no exchange. Past the
+    # broadcast cap, batch-keyed pruning (see the cow probe) semi-joins the
+    # delta's winner keys below the scan AND below the mor LWW resolver —
+    # the resolution exchange then moves only the batch keys' accumulated
+    # versions, not every resident row of the touched buckets.
     tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
-    tgt_side = _keyed_join_side(tgt_keys, tgt_rows_est)
+    prune = (
+        tgt_rows_est > BROADCAST_KEYS_MAX
+        and batch_rows_bound is not None
+        and batch_rows_bound <= BROADCAST_KEYS_MAX
+    )
+    tgt_keys = table.read(
+        buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL],
+        key_filter=srcn.select(key) if prune else None,
+    ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
+    tgt_side = F.broadcast(tgt_keys) if prune else _keyed_join_side(tgt_keys, tgt_rows_est)
     narrow = srcn.join(tgt_side, on=key, how="left")
     newer = F.col("_t_lsn").isNull() | (F.col(LSN_COL) > F.col("_t_lsn"))
     t_missing = F.col("_t_lsn").isNull()

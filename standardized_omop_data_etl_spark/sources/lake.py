@@ -526,9 +526,20 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_hidden: bool = False,
         columns: list[str] | None = None,
+        key_filter: DataFrame | None = None,
     ) -> DataFrame:
         """Read the table (optionally a bucket subset / older snapshot /
         column subset).
+
+        ``key_filter`` restricts the result to rows whose key appears in the
+        given single-column frame (column name = the table key). The
+        semi-join is applied BELOW merge-on-read LWW resolution — per-key
+        resolution is independent across keys, so filter-then-resolve picks
+        the same rows — which means a mor bucket's resolution exchange moves
+        only the filtered keys' versions instead of every resident row. The
+        filter side is broadcast unconditionally: callers gate on
+        BROADCAST_KEYS_MAX-style bounds before passing one (the MERGE probe
+        gates on the epoch's ``batch_rows_bound``).
 
         Always reads with the *manifest schema* explicitly, so files written
         before a schema evolution surface NULLs / widened ints without any
@@ -557,11 +568,18 @@ class LakeTable:
             out_schema = T.StructType([f for f in phys.fields if f.name in want])
             key = m["key_col"]
             need = set(want) | ({key, LSN_COL} if delta else set())
+            if key_filter is not None:
+                need.add(key)
             scan_schema = T.StructType([f for f in phys.fields if f.name in need])
 
             def scan(bs):
                 files = self._files(version, bs)
-                return self.spark.read.schema(scan_schema).parquet(*files) if files else None
+                if not files:
+                    return None
+                df = self.spark.read.schema(scan_schema).parquet(*files)
+                if key_filter is not None:
+                    df = df.join(F.broadcast(key_filter.select(key)), on=key, how="left_semi")
+                return df
 
             parts = []
             c = scan(clean)
@@ -584,11 +602,18 @@ class LakeTable:
         out_schema = T.StructType([f for f in user.fields if f.name in want])
         key = m["key_col"]
         need = set(want) | {DELETED_COL} | ({key, LSN_COL} if delta else set())
+        if key_filter is not None:
+            need.add(key)
         read_schema = T.StructType([f for f in phys.fields if f.name in need])
 
         def scan(bs):
             files = self._files(version, bs)
-            return self.spark.read.schema(read_schema).parquet(*files) if files else None
+            if not files:
+                return None
+            df = self.spark.read.schema(read_schema).parquet(*files)
+            if key_filter is not None:
+                df = df.join(F.broadcast(key_filter.select(key)), on=key, how="left_semi")
+            return df
 
         parts = []
         c = scan(clean)

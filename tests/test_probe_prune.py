@@ -1,0 +1,127 @@
+"""Batch-keyed probe pruning (``LakeTable.read(key_filter=...)`` + the MERGE
+probes' pruned-broadcast path).
+
+At 10^10-row scale the touched buckets' key count exceeds every join-build
+cap, so without pruning the per-epoch metrics probe sort-merges an O(table)
+narrow scan against an O(batch) winner set. The pruning semi-joins the
+winner keys BELOW the scan (and below the mor LWW resolver), making the
+target side batch-sized and broadcastable. These tests force the regime by
+shrinking ``BROADCAST_KEYS_MAX`` and assert the pruned probe is
+observationally identical — final state AND per-epoch metrics — to the
+default probe on the same epoch split.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from standardized_omop_data_etl_spark.plans import merge as merge_mod
+from standardized_omop_data_etl_spark.plans.merge import merge_into
+from standardized_omop_data_etl_spark.plans.replay import replay_log
+from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+from standardized_omop_data_etl_spark.sources.oracle import canonicalize
+
+N_DOCS = 300
+N_EVENTS = 1500
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    base = base_sequences(spark, N_DOCS, seed=91, max_len=64)
+    log = change_log(spark, N_EVENTS, N_DOCS, seed=91, max_len=64)
+    return base, log
+
+
+def make_table(spark, tmp_path, base, name, num_buckets=8):
+    tbl = LakeTable.create(
+        spark, str(tmp_path / name), schema=base.schema, key_col="doc_id",
+        num_buckets=num_buckets, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    return tbl
+
+
+def state(tbl):
+    return canonicalize(tbl.read().toPandas())
+
+
+def test_key_filter_read_equivalence(spark, tmp_path, fixtures):
+    """read(key_filter=K) == read().semi_join(K) on a table with mor
+    buckets, visible and hidden forms, pruned and full columns."""
+    base, log = fixtures
+    tbl = make_table(spark, tmp_path, base, "kf")
+    replay_log(tbl, log, num_epochs=2, lsn_range=(0, N_EVENTS - 1), mode="mor")
+
+    keys = tbl.read(columns=["doc_id"]).limit(40).select("doc_id")
+    keys_pdf = keys.toPandas()
+
+    got = canonicalize(tbl.read(key_filter=keys).toPandas())
+    exp = canonicalize(
+        tbl.read().join(F.broadcast(keys), on="doc_id", how="left_semi").toPandas()
+    )
+    assert got.equals(exp)
+    assert set(got["doc_id"]) <= set(keys_pdf["doc_id"])
+
+    # hidden form resolves mor deltas identically under the filter
+    got_h = canonicalize(
+        tbl.read(include_hidden=True, key_filter=keys)
+        .select("doc_id", "_lsn").toPandas()
+    )
+    exp_h = canonicalize(
+        tbl.read(include_hidden=True).select("doc_id", "_lsn")
+        .join(F.broadcast(keys), on="doc_id", how="left_semi").toPandas()
+    )
+    assert got_h.equals(exp_h)
+
+    # pruned columns that exclude the key still filter (scan widened internally)
+    n = tbl.read(columns=["n_tok"], key_filter=keys).count()
+    assert n == got.shape[0]
+
+
+def _replay_epochs(tbl, log, n_events, mode, epochs):
+    per = n_events // epochs
+    results = []
+    for i in range(epochs):
+        lo = i * per
+        hi = (i + 1) * per if i < epochs - 1 else n_events
+        batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        results.append(
+            merge_into(tbl, batch, epoch=f"e{i}", mode=mode, batch_rows_bound=hi - lo)
+        )
+    return results
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_pruned_probe_identical(spark, tmp_path, fixtures, monkeypatch, mode):
+    """Force the >cap regime (table keys 300 > cap 280 >= epoch bound 250)
+    and assert the pruned probe classifies every epoch identically to the
+    default probe: same per-epoch metrics dict, same final state — and that
+    the pruning path actually engaged (read() saw a key_filter)."""
+    base, log = fixtures
+    epochs = 6  # 250 events/epoch <= cap
+
+    ref = make_table(spark, tmp_path, base, f"ref_{mode}")
+    ref_results = _replay_epochs(ref, log, N_EVENTS, mode, epochs)
+
+    monkeypatch.setattr(merge_mod, "BROADCAST_KEYS_MAX", 280)
+    filtered_reads = []
+    orig_read = LakeTable.read
+
+    def spy_read(self, *args, **kwargs):
+        if kwargs.get("key_filter") is not None:
+            filtered_reads.append(kwargs.get("buckets"))
+        return orig_read(self, *args, **kwargs)
+
+    monkeypatch.setattr(LakeTable, "read", spy_read)
+    pruned = make_table(spark, tmp_path, base, f"pruned_{mode}")
+    pruned_results = _replay_epochs(pruned, log, N_EVENTS, mode, epochs)
+    monkeypatch.setattr(LakeTable, "read", orig_read)
+
+    assert filtered_reads, "pruning gate never engaged under the shrunk cap"
+    for r_ref, r_got in zip(ref_results, pruned_results):
+        assert r_got.metrics == r_ref.metrics, (
+            f"epoch {r_ref.epoch} metrics diverged under pruning"
+        )
+    assert state(pruned).equals(state(ref)), (
+        "pruned probe diverged from default final state"
+    )
