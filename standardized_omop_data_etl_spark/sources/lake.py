@@ -632,6 +632,42 @@ class LakeTable:
             *[F.col(f.name) for f in out_schema.fields]
         )
 
+    def lookup(
+        self,
+        keys: list,
+        version: int | None = None,
+        include_hidden: bool = False,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
+        """Point reads for an explicit (small) key list.
+
+        Buckets are pure hash-of-key, so the keys' bucket set is computable
+        up front: one driver-sized job hashes ``keys`` through the SAME
+        ``bucket_expr`` the writer used (never a Python reimplementation of
+        Murmur3 — the layout contract lives in one place), then the read
+        scans ONLY those buckets with the keys pushed down as a
+        ``key_filter`` semi-join. At 10^10 rows / 64k buckets a 10-key
+        lookup reads ~10 buckets' files instead of the table. ``keys`` must
+        be driver-small (it is collected into a broadcast); batch-sized key
+        sets belong in ``read(key_filter=...)`` with caller-chosen buckets.
+        """
+        key = self.key_col
+        key_field = next(f for f in self.schema(version).fields if f.name == key)
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([key_field])
+        )
+        if not keys:
+            return self.read(version=version, buckets=[], include_hidden=include_hidden,
+                             columns=columns)
+        buckets = sorted(
+            r[0] for r in
+            kdf.select(bucket_expr(key, self.num_buckets).alias("_b")).distinct().collect()
+        )
+        return self.read(
+            version=version, buckets=buckets, include_hidden=include_hidden,
+            columns=columns, key_filter=kdf,
+        )
+
     # -- writes --------------------------------------------------------------
 
     def _new_data_dir(self, version: int) -> str:

@@ -78,6 +78,29 @@ def test_key_filter_read_equivalence(spark, tmp_path, fixtures):
     assert n == got.shape[0]
 
 
+def test_lookup_point_read(spark, tmp_path, fixtures):
+    """lookup(keys) == full read filtered to the keys, scanning only the
+    keys' hash buckets; tombstoned and absent keys return nothing."""
+    base, log = fixtures
+    tbl = make_table(spark, tmp_path, base, "lk")
+    replay_log(tbl, log, num_epochs=2, lsn_range=(0, N_EVENTS - 1), mode="mor")
+
+    full = tbl.read().toPandas()
+    present = sorted(full["doc_id"])[:7]
+    all_keys = set(tbl.read(include_hidden=True).select("doc_id").toPandas()["doc_id"])
+    absent = [k for k in (f"doc-{i:08d}" for i in range(10**7, 10**7 + 3))
+              if k not in all_keys]
+
+    got = canonicalize(tbl.lookup(present + absent).toPandas())
+    exp = canonicalize(full[full["doc_id"].isin(present)])
+    assert got.equals(exp)
+
+    assert tbl.lookup([]).count() == 0
+    assert tbl.lookup(absent).count() == 0
+    # column pruning composes with the pushdown
+    assert tbl.lookup(present, columns=["n_tok"]).count() == len(present)
+
+
 def _replay_epochs(tbl, log, n_events, mode, epochs):
     per = n_events // epochs
     results = []
