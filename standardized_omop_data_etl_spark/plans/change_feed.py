@@ -47,8 +47,13 @@ from typing import Any
 
 import pyspark.sql.functions as F
 
+import pyspark.sql.types as T
+
 from ..sources.lake import DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable
-from .merge import BROADCAST_KEYS_MAX, SHUFFLE_HASH_KEYS_MAX
+from .merge import _ACTIONS, BROADCAST_KEYS_MAX, SHUFFLE_HASH_KEYS_MAX
+
+# Version ops whose commits add no data files (safe inside a pruned range).
+_METADATA_ONLY_OPS = {"alter"}
 
 CHANGE_OP_COL = "_change_op"
 CHANGE_LSN_COL = "_change_lsn"
@@ -91,6 +96,45 @@ _BARRIER_REASON = {
         "but rows whose LSN moved backward are misreported as unchanged)."
     ),
 }
+
+
+def _mor_range_winner_bound(
+    table: LakeTable, from_version: int, to_version: int
+) -> int | None:
+    """Σ LWW winners over a version range, or None when the range is not
+    winner-only (any cow merge, compaction, rebucket, overwrite… adds files
+    that also carry UNCHANGED resident rows, so "keys in added files" would
+    balloon past the change volume). Over a pure merge-on-read range every
+    added file holds exactly one epoch's winners — including late/
+    out-of-order winners whose LSN sits below any global watermark, which is
+    why the pruning keys off file membership, never an LSN cutoff. O(range)
+    driver-side manifest reads, same cost class as the legacy barrier walk
+    (consumers poll short ranges)."""
+    total = 0
+    for v in range(from_version + 1, to_version + 1):
+        s = table.manifest(v).get("summary", {})
+        op = s.get("operation")
+        if op == "merge-mor":
+            mt = s.get("metrics", {})
+            total += sum(int(mt.get(a, 0)) for a in _ACTIONS)
+        elif op not in _METADATA_ONLY_OPS:
+            return None
+    return total
+
+
+def _added_files(
+    m_from: dict[str, Any], m_to: dict[str, Any], buckets: list[int] | None
+) -> list[str]:
+    """Relative paths of data files present at v_to but not v_from (the
+    range's winner deltas, when the range is winner-only)."""
+    sel = None if buckets is None else {int(b) for b in buckets}
+    out: list[str] = []
+    for b, files in m_to["files"].items():
+        if sel is not None and int(b) not in sel:
+            continue
+        old = set(m_from["files"].get(b, []))
+        out.extend(f for f in files if f not in old)
+    return out
 
 
 def _raise_barrier(op: str, version: int, from_version: int, to_version: int) -> None:
@@ -170,21 +214,54 @@ def read_changes(
     # (they ARE the deletes). Before side: 3-column (key, lsn, deleted) probe
     # of the same buckets at v_from — the key's visibility watermark.
     key = m_to["key_col"]
-    after = table.read(version=to_version, buckets=buckets, include_hidden=True).drop(
-        LINEAGE_COL
-    )
+
+    # Batch-keyed feed pruning (the MERGE probes' trick, consumer side):
+    # the before-probe sizing below needs the per-bucket key counts anyway;
+    # when they exceed the broadcast cap AND the range is winner-only
+    # merge-on-read (every added file holds exactly one epoch's winners),
+    # the changed-key candidates are precisely the keys IN the added files —
+    # a narrow O(change-volume) scan. Pushing them as a key_filter below
+    # both endpoint reads (and below the mor resolvers) makes both join
+    # sides change-sized: no table-sized exchange no matter how many keys
+    # the touched buckets hold. Skipped under allow_gc (physically removed
+    # rows appear in NO added file — the full-outer diff must see the whole
+    # bucket to synthesize their deletes).
+    b_payload = [c for c in user_cols if c != key] if include_before else []
+    key_counts = m_from.get("key_counts", {})
+    if buckets is None:
+        before_est = sum(int(c) for c in key_counts.values())
+    else:
+        before_est = sum(int(key_counts.get(str(b), 0)) for b in buckets)
+    cap = BROADCAST_KEYS_MAX // 16 if include_before else BROADCAST_KEYS_MAX
+    ck = None
+    if before_est > cap and not allow_gc:
+        bound = _mor_range_winner_bound(table, from_version, to_version)
+        if bound is not None and bound <= cap:
+            added = _added_files(m_from, m_to, buckets)
+            if added:
+                key_field = next(
+                    f for f in table.physical_schema(to_version).fields if f.name == key
+                )
+                ck = (
+                    table.spark.read.schema(T.StructType([key_field]))
+                    .parquet(*[table.fs.join(table.path, f) for f in added])
+                    .select(key)
+                )
+
+    after = table.read(
+        version=to_version, buckets=buckets, include_hidden=True, key_filter=ck
+    ).drop(LINEAGE_COL)
     # Before side: 3-column (key, lsn, deleted) visibility probe — or, with
     # before-images requested, the full payload at v_from (cost disclosed in
     # the docstring); payload columns come out _before_-prefixed. A column
     # ADDED between the two versions has no before-image by definition:
     # read only what existed at v_from and pad the rest as typed NULLs.
-    b_payload = [c for c in user_cols if c != key] if include_before else []
     from_cols = {f["name"] for f in m_from["schema"]["fields"]}
     b_read = [c for c in b_payload if c in from_cols]
     before = (
         table.read(
             version=from_version, buckets=buckets, include_hidden=True,
-            columns=[key, LSN_COL, DELETED_COL] + b_read,
+            columns=[key, LSN_COL, DELETED_COL] + b_read, key_filter=ck,
         )
         .withColumnRenamed(LSN_COL, "_b_lsn")
         .withColumnRenamed(DELETED_COL, "_b_del")
@@ -200,14 +277,12 @@ def read_changes(
                 )
     # Same probe-sizing gate as the MERGE kernel: manifest key counts are
     # free; under the cap the payload side streams with NO exchange. With
-    # full-width before rows the cap tightens by a width factor.
-    key_counts = m_from.get("key_counts", {})
-    if buckets is None:
-        before_est = sum(int(c) for c in key_counts.values())
-    else:
-        before_est = sum(int(key_counts.get(str(b), 0)) for b in buckets)
-    cap = BROADCAST_KEYS_MAX // 16 if include_before else BROADCAST_KEYS_MAX
-    if before_est <= cap:
+    # full-width before rows the cap tightens by a width factor. A pruned
+    # before side is change-sized by construction (≤ the winner bound the
+    # pruning gated on), so it always broadcasts.
+    if ck is not None:
+        before_side = F.broadcast(before)
+    elif before_est <= cap:
         before_side = F.broadcast(before)
     elif before_est <= SHUFFLE_HASH_KEYS_MAX:
         before_side = before.hint("shuffle_hash")

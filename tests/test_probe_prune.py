@@ -14,7 +14,10 @@ default probe on the same epoch split.
 import pytest
 from pyspark.sql import functions as F
 
+from standardized_omop_data_etl_spark.plans import change_feed as feed_mod
 from standardized_omop_data_etl_spark.plans import merge as merge_mod
+from standardized_omop_data_etl_spark.plans.change_feed import read_changes
+from standardized_omop_data_etl_spark.plans.maintenance import compact_buckets
 from standardized_omop_data_etl_spark.plans.merge import merge_into
 from standardized_omop_data_etl_spark.plans.replay import replay_log
 from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
@@ -112,6 +115,62 @@ def _replay_epochs(tbl, log, n_events, mode, epochs):
             merge_into(tbl, batch, epoch=f"e{i}", mode=mode, batch_rows_bound=hi - lo)
         )
     return results
+
+
+def test_pruned_change_feed_identical(spark, tmp_path, monkeypatch):
+    """Feed pruning over a winner-only mor range returns the identical feed
+    (with and without before-images); a range containing a compaction falls
+    back to the unpruned plan and stays correct. Shape mirrors the real
+    regime: resident keys (2000) >> change volume (~200 events)."""
+    base = base_sequences(spark, 2000, seed=93, max_len=48)
+    log = change_log(spark, 200, 2000, seed=93, max_len=48)
+    tbl = make_table(spark, tmp_path, base, "feed_prune", num_buckets=8)
+    v0 = tbl.current_version()
+    replay_log(tbl, log, num_epochs=2, lsn_range=(0, 199), mode="mor")
+    v1 = tbl.current_version()
+
+    def feed_pdf(**kw):
+        return canonicalize(read_changes(tbl, v0, v1, **kw).toPandas())
+
+    exp_plain = feed_pdf()
+    exp_before = feed_pdf(include_before=True)
+
+    bound = feed_mod._mor_range_winner_bound(tbl, v0, v1)
+    assert bound is not None and 0 < bound <= 200
+
+    filtered_reads = []
+    orig_read = LakeTable.read
+
+    def spy_read(self, *args, **kwargs):
+        if kwargs.get("key_filter") is not None:
+            filtered_reads.append(kwargs.get("version"))
+        return orig_read(self, *args, **kwargs)
+
+    monkeypatch.setattr(LakeTable, "read", spy_read)
+    # gate: before_est (~2000 resident keys) > cap >= bound (<=200 winners)
+    monkeypatch.setattr(feed_mod, "BROADCAST_KEYS_MAX", 500)
+    got_plain = feed_pdf()
+    assert filtered_reads, "feed pruning never engaged"
+    assert got_plain.equals(exp_plain), "pruned feed diverged (plain)"
+
+    # include_before tightens the cap 16x; widen so the gate still fires
+    # (cap = 8000//16 = 500 > bound, before_est 2000 > 500)
+    monkeypatch.setattr(feed_mod, "BROADCAST_KEYS_MAX", 8000)
+    filtered_reads.clear()
+    got_before = feed_pdf(include_before=True)
+    assert filtered_reads, "before-image feed pruning never engaged"
+    assert got_before.equals(exp_before), "pruned feed diverged (before-images)"
+    monkeypatch.setattr(LakeTable, "read", orig_read)
+
+    # compaction inside the range -> winner-only precondition fails -> falls
+    # back (bound is None) and the feed is still exact
+    compact_buckets(tbl, max_files_per_bucket=1)
+    v2 = tbl.current_version()
+    assert feed_mod._mor_range_winner_bound(tbl, v0, v2) is None
+    exp2 = canonicalize(read_changes(tbl, v0, v2).toPandas())
+    monkeypatch.setattr(feed_mod, "BROADCAST_KEYS_MAX", 10)
+    got2 = canonicalize(read_changes(tbl, v0, v2).toPandas())
+    assert got2.equals(exp2)
 
 
 @pytest.mark.parametrize("mode", ["cow", "mor"])
