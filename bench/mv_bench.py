@@ -70,16 +70,21 @@ def run_regime(spark, args, workdir: str, local: bool) -> dict:
     tbl.overwrite_full(base)
     # warm epoch applied BEFORE subscribing, so the timed refresh sees
     # exactly one epoch of changes
+    # mode="auto" is the deployed configuration: it picks merge-on-read for
+    # routine epochs on large tables, which ALSO makes the refresh's feed
+    # range winner-only — the precondition for the feed's batch-keyed
+    # pruning (plans/change_feed.py). Earlier r4 rows in BENCH/BASELINE.md
+    # predate this and ran the delta epoch as cow.
     replay_log(
         tbl, log.filter(F.col("lsn") < args.epoch_events),
-        num_epochs=1, epoch_prefix="warm",
+        num_epochs=1, epoch_prefix="warm", mode="auto",
     )
     view, consumer = materialize_view(
         spark, os.path.join(workdir, "view"), tbl, GROUP, SUMS, name="bench"
     )
     replay_log(
         tbl, log.filter(F.col("lsn") >= args.epoch_events),
-        num_epochs=1, epoch_prefix="delta",
+        num_epochs=1, epoch_prefix="delta", mode="auto",
     )
 
     t0 = time.time()

@@ -477,7 +477,7 @@ class LakeTable:
         """Per-key LWW resolution of merge-on-read rows: one row per key, the
         max-``_lsn`` version (tombstones kept as rows — visibility filtering
         is the caller's concern, so compaction preserves the resurrection
-        guard). A hash tie-break over the scanned columns mirrors
+        guard). A hash tie-break over the scanned SIMPLE columns mirrors
         ``operators.lww.lww_latest``. Note the tie-break's scope: (key, lsn)
         is unique across delta files by construction (epochs are exactly-once
         and each epoch's winners are LWW-unique per key), so ties only arise
@@ -499,11 +499,25 @@ class LakeTable:
           max-over-struct on complex types forces ObjectHashAggregate whose
           per-row struct buffers measured slower than the sort it replaces.
         """
-        tie = F.xxhash64(*[F.col(c) for c in df.columns])
-        narrow = not any(
-            isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
-            for f in df.schema.fields
-        )
+        # Tie scope: (key, lsn) is unique across delta files by construction,
+        # so ties only arise between byte-identical duplicate rows, where any
+        # pick is the same row — hashing the SIMPLE columns is therefore
+        # pick-identical to hashing everything for every realizable input.
+        # What it buys: the window form's ordering expression no longer
+        # references array/map/struct payloads, so Catalyst column-prunes
+        # them BELOW the resolver for narrow consumers (a group/sum view
+        # refresh over a mor bucket reads 4 columns, not the tokens array —
+        # hashing all columns forced a full-width decode of every resident
+        # row). The hypothetical upstream that emits two DIFFERENT payloads
+        # under one (key, lsn) resolves per-projection until compaction pins
+        # one — same caveat class as before, now also covering payloads that
+        # differ only in complex columns.
+        simple_cols = [
+            f.name for f in df.schema.fields
+            if not isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        tie = F.xxhash64(*[F.col(c) for c in simple_cols])
+        narrow = len(simple_cols) == len(df.columns)
         if narrow:
             rest = [c for c in df.columns if c not in (key, LSN_COL)]
             packed = F.struct(

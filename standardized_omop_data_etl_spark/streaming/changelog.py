@@ -45,6 +45,7 @@ def stream_changelog_from(
     mode: str = "cow",
     maintenance: "MaintenancePolicy | None" = None,
     views: list | None = None,
+    max_batch_rows: int | None = None,
 ) -> StreamingQuery:
     """MERGE-sink for ANY streaming DataFrame of changelog events
     ``(lsn, op, <payload>)`` — the source-agnostic seam. A Kafka topic plugs
@@ -86,6 +87,13 @@ def stream_changelog_from(
             salt_partitions=salt_partitions,
             source_name=epoch_prefix,
             mode=mode,
+            # A hard per-trigger row bound (Kafka maxOffsetsPerTrigger, file
+            # sources with bounded files × rows, rate source rowsPerSecond ×
+            # trigger) unlocks the bound-gated fast paths: the narrow
+            # kernel's probe-free winner broadcast and the batch-keyed
+            # metrics-probe pruning. Leave None when the source can't bound
+            # a trigger — merge falls back to its probe-based guards.
+            batch_rows_bound=max_batch_rows,
         )
         for view, consumer, group_cols, sum_cols in views or []:
             refresh_view(view, consumer, group_cols, sum_cols)
@@ -150,11 +158,16 @@ def stream_changelog_kafka(
         reader = reader.option(k, v)
     raw = reader.load().select(F.col("value").cast("string").alias("value"))
     events = parse_json_changelog(raw, payload=payload_schema or DEFAULT_PAYLOAD)
+    # maxOffsetsPerTrigger is a HARD per-trigger record bound (one Kafka
+    # record = at most one event) — exactly what the merge's bound-gated
+    # fast paths want; pass it through instead of probing per batch.
+    bound = source_options.get("maxOffsetsPerTrigger")
     return stream_changelog_from(
         events, table, checkpoint_dir,
         trigger_once=trigger_once, salt_partitions=salt_partitions,
         epoch_prefix=f"{source_format}:{topic}" if topic else source_format,
         mode=mode, maintenance=maintenance,
+        max_batch_rows=int(bound) if bound is not None else None,
     )
 
 

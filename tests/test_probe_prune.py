@@ -81,6 +81,26 @@ def test_key_filter_read_equivalence(spark, tmp_path, fixtures):
     assert n == got.shape[0]
 
 
+def test_mor_read_prunes_complex_columns(spark, tmp_path, fixtures):
+    """A narrow projection over a mor bucket must not decode the tokens
+    array: the resolver's tie-break references only simple columns, so
+    Catalyst pushes the pruning into the parquet scan (the mv refresh /
+    recompute regression this guards: full-width decode of every resident
+    row for a 4-column aggregate)."""
+    base, log = fixtures
+    tbl = make_table(spark, tmp_path, base, "prune_cols")
+    replay_log(tbl, log, num_epochs=2, lsn_range=(0, N_EVENTS - 1), mode="mor")
+    assert tbl.manifest().get("mor_buckets"), "fixture must leave mor buckets"
+
+    narrow = tbl.read().groupBy("source").agg(F.sum("n_tok").alias("s"))
+    plan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "tokens" not in plan, "tokens array not pruned below the mor resolver"
+
+    # and the full-width read still resolves to the same rows as cow replay
+    wide = canonicalize(tbl.read().toPandas())
+    assert set(wide.columns) == {"doc_id", "tokens", "n_tok", "source"}
+
+
 def test_lookup_point_read(spark, tmp_path, fixtures):
     """lookup(keys) == full read filtered to the keys, scanning only the
     keys' hash buckets; tombstoned and absent keys return nothing."""
