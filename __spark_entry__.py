@@ -766,11 +766,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col(CHANGE_LSN_COL).alias("change_lsn"),
         )
 
+    def q_cdc_mv_refresh(spark, sf):
+        # persisted materialized view maintained incrementally (plans/mv.py):
+        # subscribe a (event_type -> count, sum(value)) view after epoch 1,
+        # apply epoch 2, refresh from the change feed's before-images — the
+        # refreshed view must equal a direct SQL aggregate over the final
+        # LWW state. Exercises materialize_view/refresh_view + read_changes
+        # (include_before) + the exactly-once view MERGE end to end.
+        from standardized_omop_data_etl_spark.plans.merge import merge_into
+        from standardized_omop_data_etl_spark.plans.mv import (
+            COUNT_COL,
+            materialize_view,
+            refresh_view,
+        )
+        from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+        ev = _t(spark, sf, "events")
+        batch = ev.select(
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        payload = batch.drop("lsn", "op").schema
+        tbl = LakeTable.create(
+            spark, "/tmp/q_cdc_mv_tbl", schema=payload, key_col="user_id",
+            num_buckets=8, overwrite=True,
+        )
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 1), epoch="odd")
+        view, consumer = materialize_view(
+            spark, "/tmp/q_cdc_mv_view", tbl, ["event_type"], ["value"], name="q"
+        )
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 0), epoch="even")
+        refresh_view(view, consumer, ["event_type"], ["value"])
+        return view.read().select(
+            "event_type",
+            F.col(COUNT_COL).alias("n_rows"),
+            F.round(F.col("mv_sum_value"), 2).alias("sum_value"),
+        )
+
     return {
         "cdc_lww_state": q_cdc_lww_state,
         "cdc_lww_narrow": q_cdc_lww_narrow,
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_change_feed": q_cdc_change_feed,
+        "cdc_mv_refresh": q_cdc_mv_refresh,
         "priority_dedup": q_priority_dedup,
         "minmax_periods": q_minmax_periods,
         "anti_join_delete": q_anti_join_delete,
@@ -873,6 +916,19 @@ def oracle_sql() -> dict[str, str]:
             FROM s2 LEFT JOIN s1 USING (user_id)
             WHERE (s1.user_id IS NULL OR s2.event_id > s1.lsn)
               AND NOT (s2.event_type = 'error' AND (s1.user_id IS NULL OR s1.dead))
+        """,
+        "cdc_mv_refresh": """
+            WITH w AS (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events),
+            state AS (
+              SELECT user_id, event_type, value FROM w
+              WHERE rn = 1 AND event_type <> 'error')
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+            FROM state GROUP BY event_type
         """,
         "priority_dedup": """
             WITH p AS (
