@@ -373,3 +373,73 @@ def test_streaming_chained_materialized_view(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert (tbl.current_version(), view.current_version()) == (v_t, v_v)
+
+
+def test_kafka_wiring_forwards_trigger_bound(spark, tmp_path, monkeypatch):
+    """maxOffsetsPerTrigger is a hard per-trigger record bound; the kafka
+    wiring must forward it as max_batch_rows so every micro-batch merge gets
+    the bound-gated fast paths (probe-free winner broadcast, batch-keyed
+    probe pruning). No broker needed: the forwarding is asserted at the
+    stream_changelog_from seam, and the bound's arrival at merge_into is
+    asserted with a one-batch file stream."""
+    from pyspark.sql import types as T
+
+    from standardized_omop_data_etl_spark.sources.lake import LakeTable
+    from standardized_omop_data_etl_spark.streaming import changelog as ch
+
+    # 1. kafka wiring -> stream_changelog_from(max_batch_rows=...)
+    seen = {}
+
+    def fake_from(events, table, ckpt, **kw):
+        seen.update(kw)
+
+        class _Q:  # minimal StreamingQuery stand-in
+            def stop(self):
+                pass
+
+        return _Q()
+
+    monkeypatch.setattr(ch, "stream_changelog_from", fake_from)
+    ch.stream_changelog_kafka(
+        spark, table=None, checkpoint_dir=str(tmp_path / "ck"),
+        bootstrap_servers="", topic="", source_format="rate",
+        rowsPerSecond="10", maxOffsetsPerTrigger="12345",
+    )
+    assert seen.get("max_batch_rows") == 12345
+    monkeypatch.undo()
+
+    # 2. stream_changelog_from(max_batch_rows=) -> merge_into(batch_rows_bound=)
+    bounds = []
+    real_merge = ch.merge_into
+
+    def spy_merge(table, batch, **kw):
+        bounds.append(kw.get("batch_rows_bound"))
+        return real_merge(table, batch, **kw)
+
+    monkeypatch.setattr(ch, "merge_into", spy_merge)
+    schema = T.StructType(
+        [
+            T.StructField("lsn", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    src = tmp_path / "bound_src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, "upsert", f"d{i}", i) for i in range(20)], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src))
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "bound_tbl"),
+        schema=T.StructType([f for f in schema.fields if f.name not in ("lsn", "op")]),
+        key_col="doc_id", num_buckets=4, overwrite=True,
+    )
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = ch.stream_changelog_from(
+        stream, tbl, str(tmp_path / "bound_ckpt"), trigger_once=True,
+        max_batch_rows=777,
+    )
+    q.awaitTermination(120)
+    assert bounds and all(b == 777 for b in bounds)
+    assert tbl.read().count() == 20
