@@ -112,7 +112,12 @@ def _mor_range_winner_bound(
     (consumers poll short ranges)."""
     total = 0
     for v in range(from_version + 1, to_version + 1):
-        s = table.manifest(v).get("summary", {})
+        try:
+            s = table.manifest(v).get("summary", {})
+        except Exception:
+            # a mid-range manifest that cannot be read (raced GC, partial
+            # listing) only costs the optimization, never the feed
+            return None
         op = s.get("operation")
         if op == "merge-mor":
             mt = s.get("metrics", {})
