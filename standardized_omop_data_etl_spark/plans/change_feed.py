@@ -120,8 +120,13 @@ def _mor_range_winner_bound(
             return None
         op = s.get("operation")
         if op == "merge-mor":
-            mt = s.get("metrics", {})
-            total += sum(int(mt.get(a, 0)) for a in _ACTIONS)
+            mt = s.get("metrics")
+            if not isinstance(mt, dict) or any(a not in mt for a in _ACTIONS):
+                # a merge-mor commit without full per-action metrics (foreign
+                # writer, damaged summary) cannot bound its winner count —
+                # treat like an unknown op rather than under-counting to 0
+                return None
+            total += sum(int(mt[a]) for a in _ACTIONS)
         elif op not in _METADATA_ONLY_OPS:
             return None
     return total
@@ -284,10 +289,8 @@ def read_changes(
     # free; under the cap the payload side streams with NO exchange. With
     # full-width before rows the cap tightens by a width factor. A pruned
     # before side is change-sized by construction (≤ the winner bound the
-    # pruning gated on), so it always broadcasts.
-    if ck is not None:
-        before_side = F.broadcast(before)
-    elif before_est <= cap:
+    # pruning gated on), so it also broadcasts.
+    if ck is not None or before_est <= cap:
         before_side = F.broadcast(before)
     elif before_est <= SHUFFLE_HASH_KEYS_MAX:
         before_side = before.hint("shuffle_hash")

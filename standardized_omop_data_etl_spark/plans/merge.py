@@ -119,6 +119,30 @@ def _keyed_join_side(df, rows_est: int):
     return df
 
 
+def _probe_target_side(table, touched, src_keys, tgt_rows_est, batch_rows_bound):
+    """The metrics probe's target side, shared by the cow and mor probes:
+    a 3-column (key, _t_lsn, _t_del) read of the touched buckets, size-tiered
+    via ``_keyed_join_side`` — OR, when the target outgrows the broadcast cap
+    but the EPOCH's hard row bound fits it (winners ≤ batch rows), pruned by
+    a semi-join of the winner keys pushed below the scan and below the mor
+    LWW resolver, then broadcast: the probe does no table-sized exchange at
+    all. Without the pruning, a >cap-key table forces shuffle-hash/sort-merge
+    over EVERY resident key of the touched buckets per epoch — O(table)
+    exchange for an O(batch) classification, the dominant per-epoch cost in
+    the 10^10-row regime's routine micro-batches."""
+    key = table.key_col
+    prune = (
+        tgt_rows_est > BROADCAST_KEYS_MAX
+        and batch_rows_bound is not None
+        and batch_rows_bound <= BROADCAST_KEYS_MAX
+    )
+    tgt_keys = table.read(
+        buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL],
+        key_filter=src_keys.select(key) if prune else None,
+    ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
+    return F.broadcast(tgt_keys) if prune else _keyed_join_side(tgt_keys, tgt_rows_est)
+
+
 
 # mode="auto" crossover knobs (see resolve_merge_mode). The endurance
 # campaigns (BENCH/endurance_*_r03.json: 20 epochs × 2M events) give the
@@ -528,26 +552,8 @@ def _merge_into_locked(
         # threshold, explicit shuffle-hash: a sort-merge plan (AQE's
         # occasional pick at borderline sizes) pays two sorts for nothing,
         # and plan flapping makes throughput bimodal.
-        # Batch-keyed probe pruning: when the target outgrows the broadcast
-        # cap but the EPOCH's hard row bound fits it (winners ≤ batch rows),
-        # semi-join the winner keys below the scan — the pruned target is
-        # then batch-sized and broadcasts, so the probe does no table-sized
-        # exchange at all. Without the pruning, a >4M-key table forces the
-        # probe into shuffle-hash/sort-merge over EVERY resident key of the
-        # touched buckets per epoch — O(table) exchange for an O(batch)
-        # classification, the dominant per-epoch cost in the 10^10-row
-        # regime's routine micro-batches.
         tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
-        prune = (
-            tgt_rows_est > BROADCAST_KEYS_MAX
-            and batch_rows_bound is not None
-            and batch_rows_bound <= BROADCAST_KEYS_MAX
-        )
-        tgt_keys = table.read(
-            buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL],
-            key_filter=srcr.select(key) if prune else None,
-        ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
-        tgt_side = F.broadcast(tgt_keys) if prune else _keyed_join_side(tgt_keys, tgt_rows_est)
+        tgt_side = _probe_target_side(table, touched, srcr, tgt_rows_est, batch_rows_bound)
         narrow = srcr.select(key, lsn_col, op_col, "_bucket", "_n_events").join(
             tgt_side, on=key, how="left"
         )
@@ -855,22 +861,10 @@ def _merge_mor_locked(
     )
     # manifest-sized broadcast, same policy as the cow probe: the target side
     # is known small for free (distinct keys = rows the resolved include_hidden
-    # scan materializes), so the delta side streams with no exchange. Past the
-    # broadcast cap, batch-keyed pruning (see the cow probe) semi-joins the
-    # delta's winner keys below the scan AND below the mor LWW resolver —
-    # the resolution exchange then moves only the batch keys' accumulated
-    # versions, not every resident row of the touched buckets.
+    # scan materializes), so the delta side streams with no exchange; past the
+    # broadcast cap the shared helper prunes by the winner keys instead.
     tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
-    prune = (
-        tgt_rows_est > BROADCAST_KEYS_MAX
-        and batch_rows_bound is not None
-        and batch_rows_bound <= BROADCAST_KEYS_MAX
-    )
-    tgt_keys = table.read(
-        buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL],
-        key_filter=srcn.select(key) if prune else None,
-    ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
-    tgt_side = F.broadcast(tgt_keys) if prune else _keyed_join_side(tgt_keys, tgt_rows_est)
+    tgt_side = _probe_target_side(table, touched, srcn, tgt_rows_est, batch_rows_bound)
     narrow = srcn.join(tgt_side, on=key, how="left")
     newer = F.col("_t_lsn").isNull() | (F.col(LSN_COL) > F.col("_t_lsn"))
     t_missing = F.col("_t_lsn").isNull()

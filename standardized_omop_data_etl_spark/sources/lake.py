@@ -665,18 +665,28 @@ class LakeTable:
         be driver-small (it is collected into a broadcast); batch-sized key
         sets belong in ``read(key_filter=...)`` with caller-chosen buckets.
         """
+        if not keys:
+            return self.read(version=version, buckets=[], include_hidden=include_hidden,
+                             columns=columns)
+        m = self.manifest(version)
         key = self.key_col
         key_field = next(f for f in self.schema(version).fields if f.name == key)
         kdf = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([key_field])
         )
-        if not keys:
-            return self.read(version=version, buckets=[], include_hidden=include_hidden,
-                             columns=columns)
-        buckets = sorted(
-            r[0] for r in
-            kdf.select(bucket_expr(key, self.num_buckets).alias("_b")).distinct().collect()
-        )
+        # Bucket ids must be computed against the SNAPSHOT's layout, not the
+        # current one — a rebucket between `version` and HEAD changes both
+        # the count and (hypothetically) the function. Unknown bucket_fn →
+        # scan every bucket; the key_filter still prunes rows.
+        if m.get("bucket_fn") == BUCKET_FN:
+            buckets = sorted(
+                r[0] for r in
+                kdf.select(
+                    bucket_expr(key, int(m["num_buckets"])).alias("_b")
+                ).distinct().collect()
+            )
+        else:
+            buckets = None
         return self.read(
             version=version, buckets=buckets, include_hidden=include_hidden,
             columns=columns, key_filter=kdf,

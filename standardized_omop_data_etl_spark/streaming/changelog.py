@@ -158,17 +158,26 @@ def stream_changelog_kafka(
         reader = reader.option(k, v)
     raw = reader.load().select(F.col("value").cast("string").alias("value"))
     events = parse_json_changelog(raw, payload=payload_schema or DEFAULT_PAYLOAD)
-    # maxOffsetsPerTrigger is a HARD per-trigger record bound (one Kafka
-    # record = at most one event) — exactly what the merge's bound-gated
-    # fast paths want; pass it through instead of probing per batch.
-    bound = source_options.get("maxOffsetsPerTrigger")
     return stream_changelog_from(
         events, table, checkpoint_dir,
         trigger_once=trigger_once, salt_partitions=salt_partitions,
         epoch_prefix=f"{source_format}:{topic}" if topic else source_format,
         mode=mode, maintenance=maintenance,
-        max_batch_rows=int(bound) if bound is not None else None,
+        max_batch_rows=_trigger_row_bound(source_format, source_options),
     )
+
+
+def _trigger_row_bound(source_format: str, source_options: dict) -> int | None:
+    """Per-trigger HARD record bound derivable from the source config, or
+    None. kafka's maxOffsetsPerTrigger qualifies (one record = at most one
+    event). Non-kafka stand-ins (socket/rate/file) silently IGNORE that
+    option, so forwarding it would hand the merge an unenforced "bound" and
+    defeat the broadcast guards it feeds — an under-report is worse than no
+    bound."""
+    if source_format != "kafka":
+        return None
+    b = source_options.get("maxOffsetsPerTrigger")
+    return int(b) if b is not None else None
 
 
 def stream_changelog(

@@ -124,6 +124,27 @@ def test_lookup_point_read(spark, tmp_path, fixtures):
     assert tbl.lookup(present, columns=["n_tok"]).count() == len(present)
 
 
+def test_lookup_version_pinned_across_rebucket(spark, tmp_path, fixtures):
+    """A time-travel lookup must hash keys against the SNAPSHOT's bucket
+    layout: after a rebucket, current-layout bucket ids point at the wrong
+    old buckets and would silently return nothing."""
+    from standardized_omop_data_etl_spark.plans.maintenance import rebucket
+
+    base, _log = fixtures
+    tbl = make_table(spark, tmp_path, base, "lk_rb", num_buckets=4)
+    v_old = tbl.current_version()
+    keys = [r[0] for r in tbl.read(columns=["doc_id"]).limit(5).collect()]
+    rebucket(tbl, 16)
+
+    got = canonicalize(tbl.lookup(keys, version=v_old).toPandas())
+    exp = canonicalize(
+        tbl.read(version=v_old).filter(F.col("doc_id").isin(keys)).toPandas()
+    )
+    assert got.equals(exp) and got.shape[0] == 5
+    # and the current-version lookup sees the new layout
+    assert tbl.lookup(keys).count() == 5
+
+
 def _replay_epochs(tbl, log, n_events, mode, epochs):
     per = n_events // epochs
     results = []

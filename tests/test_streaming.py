@@ -387,7 +387,15 @@ def test_kafka_wiring_forwards_trigger_bound(spark, tmp_path, monkeypatch):
     from standardized_omop_data_etl_spark.sources.lake import LakeTable
     from standardized_omop_data_etl_spark.streaming import changelog as ch
 
-    # 1. kafka wiring -> stream_changelog_from(max_batch_rows=...)
+    # 1. the bound derivation: HARD for kafka, refused for stand-in sources
+    # that silently ignore maxOffsetsPerTrigger (an unenforced bound would
+    # defeat the broadcast guards it feeds)
+    assert ch._trigger_row_bound("kafka", {"maxOffsetsPerTrigger": "12345"}) == 12345
+    assert ch._trigger_row_bound("kafka", {}) is None
+    for fake_src in ("rate", "socket", "parquet"):
+        assert ch._trigger_row_bound(fake_src, {"maxOffsetsPerTrigger": "12345"}) is None
+
+    # and the wiring passes it through to stream_changelog_from
     seen = {}
 
     def fake_from(events, table, ckpt, **kw):
@@ -405,7 +413,7 @@ def test_kafka_wiring_forwards_trigger_bound(spark, tmp_path, monkeypatch):
         bootstrap_servers="", topic="", source_format="rate",
         rowsPerSecond="10", maxOffsetsPerTrigger="12345",
     )
-    assert seen.get("max_batch_rows") == 12345
+    assert seen.get("max_batch_rows") is None  # rate ignores the option
     monkeypatch.undo()
 
     # 2. stream_changelog_from(max_batch_rows=) -> merge_into(batch_rows_bound=)
