@@ -151,6 +151,7 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
         "row_counts": {str(b): int(c) for b, c in counts.items() if c},
         "key_counts": {str(b): int(c) for b, c in kcounts.items() if c},
         "mor_buckets": [],  # full rewrite materializes any merge-on-read state
+        "file_stats": table.stats_for_commit(new_files) or {},
         "properties": m["properties"],
         "summary": {"operation": "rebucket", "from": m["num_buckets"], "to": new_num_buckets},
     }
@@ -158,14 +159,24 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
     return version
 
 
-def compact_buckets(table: LakeTable, max_files_per_bucket: int = 4) -> int:
+def compact_buckets(
+    table: LakeTable,
+    max_files_per_bucket: int = 4,
+    target_rows_per_file: int | None = None,
+) -> int:
     """Small-file compaction: many tiny epochs leave many files per bucket
     over time (every MERGE appends ~1 file to each touched bucket's rewrite),
     degrading scan planning and open-file overhead at scale. Buckets holding
     more than ``max_files_per_bucket`` files are rewritten into one file each
     via a single aligned shuffle of ONLY those buckets; untouched buckets are
     carried by reference. Read state is byte-identical (tombstones and hidden
-    columns included); returns the new version (current if nothing to do)."""
+    columns included); returns the new version (current if nothing to do).
+
+    ``target_rows_per_file`` bounds file size for huge buckets: the rewrite
+    key-sorts within each bucket and rolls files at the target, so rolled
+    files carry DISJOINT key ranges; with per-file manifest stats a point
+    ``lookup`` then opens one file per bucket instead of the whole bucket
+    (the Iceberg sort-order + data-file-stats pruning analogue)."""
     owner = table.acquire_writer_lease()
     try:
         # manifest read + bucket selection must happen UNDER the lease: a
@@ -182,7 +193,11 @@ def compact_buckets(table: LakeTable, max_files_per_bucket: int = 4) -> int:
         rows = table.read(buckets=buckets, include_hidden=True).withColumn(
             "_bucket", bucket_expr(key, table.num_buckets)
         )
-        new_files, _ = table.write_bucket_files(rows, version, cluster=True)
+        new_files, _ = table.write_bucket_files(
+            rows, version, cluster=True,
+            sort_within=target_rows_per_file is not None,
+            max_records_per_file=target_rows_per_file,
+        )
         prev_counts = {int(b): int(c) for b, c in m.get("row_counts", {}).items()}
         # visible rows AND distinct keys are unchanged by compaction (the
         # rewrite materializes resolved state: one row per key, tombstones
@@ -196,6 +211,7 @@ def compact_buckets(table: LakeTable, max_files_per_bucket: int = 4) -> int:
             summary={"operation": "compact", "buckets": buckets},
             row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
             key_counts_update={b: prev_keys.get(b, 0) for b in buckets},
+            file_stats_update=table.stats_for_commit(new_files),
         )
     finally:
         table.release_writer_lease(owner)
@@ -261,6 +277,7 @@ def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
                      "buckets": buckets},
             row_counts_update={b: prev_counts.get(b, 0) for b in buckets},
             key_counts_update=kcounts,
+            file_stats_update=table.stats_for_commit(new_files),
         )
     finally:
         table.release_writer_lease(owner)

@@ -714,6 +714,14 @@ def _merge_into_locked(
             },
             row_counts_update=new_counts,
             key_counts_update=new_keys,
+            # Per-epoch stats are OPT-IN (write.file_stats.on_merge): fresh
+            # epoch files are small, soon compacted, and kept-unconditionally
+            # by the skipper when statless — not worth +1 footer job/epoch.
+            # compact/vacuum/overwrite (the long-lived files) always stamp.
+            file_stats_update=(
+                table.stats_for_commit(new_files)
+                if table.properties().get("write.file_stats.on_merge") else None
+            ),
         )
         table.stamp_epoch(epoch, metrics["last_lsn"], metrics, new_version)
         mark("commit")
@@ -951,6 +959,10 @@ def _merge_mor_locked(
         row_counts_update=new_counts,
         key_counts_update=new_keys,
         append=True,
+        file_stats_update=(
+            table.stats_for_commit(new_files)
+            if table.properties().get("write.file_stats.on_merge") else None
+        ),
     )
     table.stamp_epoch(epoch, metrics["last_lsn"], metrics, new_version)
     mark("commit")

@@ -459,12 +459,21 @@ class LakeTable:
 
     # -- reads ---------------------------------------------------------------
 
-    def _files(self, version: int | None = None, buckets: list[int] | None = None) -> list[str]:
+    def _files(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        file_subset: set[str] | None = None,
+    ) -> list[str]:
         m = self.manifest(version)
         out: list[str] = []
         for b, files in m["files"].items():
             if buckets is None or int(b) in buckets:
-                out.extend(self.fs.join(self.path, f) for f in files)
+                out.extend(
+                    self.fs.join(self.path, f)
+                    for f in files
+                    if file_subset is None or f in file_subset
+                )
         return out
 
     def mor_buckets(self, version: int | None = None) -> set[int]:
@@ -541,9 +550,18 @@ class LakeTable:
         include_hidden: bool = False,
         columns: list[str] | None = None,
         key_filter: DataFrame | None = None,
+        file_subset: set[str] | None = None,
     ) -> DataFrame:
         """Read the table (optionally a bucket subset / older snapshot /
         column subset).
+
+        ``file_subset`` (manifest-relative paths) further restricts the scan
+        to specific data files — the file-skipping hook ``lookup`` drives
+        from per-file manifest stats. Callers must only drop files that
+        provably cannot contain the rows they want: per-key LWW resolution
+        of merge-on-read buckets is unaffected by removing files that hold
+        none of the wanted keys, but removing one VERSION of a wanted key
+        would resurrect an older version.
 
         ``key_filter`` restricts the result to rows whose key appears in the
         given single-column frame (column name = the table key). The
@@ -587,7 +605,7 @@ class LakeTable:
             scan_schema = T.StructType([f for f in phys.fields if f.name in need])
 
             def scan(bs):
-                files = self._files(version, bs)
+                files = self._files(version, bs, file_subset)
                 if not files:
                     return None
                 df = self.spark.read.schema(scan_schema).parquet(*files)
@@ -621,7 +639,7 @@ class LakeTable:
         read_schema = T.StructType([f for f in phys.fields if f.name in need])
 
         def scan(bs):
-            files = self._files(version, bs)
+            files = self._files(version, bs, file_subset)
             if not files:
                 return None
             df = self.spark.read.schema(read_schema).parquet(*files)
@@ -687,10 +705,53 @@ class LakeTable:
             )
         else:
             buckets = None
+        file_subset = self._skip_files_by_key(m, buckets, keys)
         return self.read(
             version=version, buckets=buckets, include_hidden=include_hidden,
-            columns=columns, key_filter=kdf,
+            columns=columns, key_filter=kdf, file_subset=file_subset,
         )
+
+    @staticmethod
+    def _skip_files_by_key(
+        manifest: dict, buckets: list[int] | None, keys: list
+    ) -> set[str] | None:
+        """Manifest-stats file skipping for a point lookup: keep only files
+        whose [min_key, max_key] range could contain one of ``keys``.
+
+        Safe by construction: a file that CONTAINS a wanted key (any version
+        of it, tombstones included — they carry the key) necessarily has
+        min_key <= key <= max_key, so it is always kept; parquet truncation
+        only widens bounds. Files without stats (older snapshots, unreadable
+        footers) are kept unconditionally. Returns None (no restriction)
+        when the snapshot has no stats at all."""
+        stats = manifest.get("file_stats") or {}
+        if not stats:
+            return None
+        import bisect
+
+        try:
+            skeys = sorted(keys)
+        except TypeError:
+            return None  # mixed-type key list: don't risk a bad comparison
+        bucket_set = None if buckets is None else set(buckets)
+        subset: set[str] = set()
+        for b, fl in manifest["files"].items():
+            if bucket_set is not None and int(b) not in bucket_set:
+                continue
+            for f in fl:
+                s = stats.get(f)
+                lo = s.get("min_key") if s else None
+                hi = s.get("max_key") if s else None
+                if lo is None or hi is None:
+                    subset.add(f)  # no usable bounds: never skip
+                    continue
+                try:
+                    i = bisect.bisect_left(skeys, lo)
+                    if i < len(skeys) and skeys[i] <= hi:
+                        subset.add(f)
+                except TypeError:
+                    subset.add(f)  # stats type mismatch: never skip
+        return subset
 
     # -- writes --------------------------------------------------------------
 
@@ -700,7 +761,13 @@ class LakeTable:
         return d
 
     def write_bucket_files(
-        self, df: DataFrame, version: int, cluster: bool = True, out_dir: str | None = None
+        self,
+        df: DataFrame,
+        version: int,
+        cluster: bool = True,
+        out_dir: str | None = None,
+        sort_within: bool = False,
+        max_records_per_file: int | None = None,
     ) -> tuple[dict[int, list[str]], str]:
         """Write ``df`` (which must carry an int ``_bucket`` column) as one
         dir per bucket under a snapshot data dir; returns
@@ -714,11 +781,24 @@ class LakeTable:
         inputs that are already bucket-clustered (rows read back from this
         table's own per-bucket files, or an already-aligned shuffle) — that
         skips shuffling the big side entirely.
+
+        ``sort_within=True`` + ``max_records_per_file`` produce size-bounded
+        files with DISJOINT key ranges inside each bucket: rows are sorted by
+        key within each task, and ``maxRecordsPerFile`` rolls over a file
+        sequentially, so every rolled file holds a contiguous key run (a
+        subsequence of a sorted stream is sorted). Combined with per-file
+        manifest stats this makes point ``lookup``s skip to one file per
+        bucket no matter how large the bucket grows.
         """
         if out_dir is None:
             out_dir = self._new_data_dir(version)
         out = df.repartition(self.num_buckets, F.col(self.key_col)) if cluster else df
-        out.write.partitionBy("_bucket").mode("append").parquet(out_dir)
+        if sort_within:
+            out = out.sortWithinPartitions(F.col(self.key_col), F.col(LSN_COL))
+        writer = out.write.partitionBy("_bucket").mode("append")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.parquet(out_dir)
         return self.list_bucket_files(out_dir), out_dir
 
     def list_bucket_files(self, out_dir: str) -> dict[int, list[str]]:
@@ -739,6 +819,127 @@ class LakeTable:
             files[b] = sorted(rels)
         return files
 
+    # -- per-file column statistics (Iceberg manifest-stats analogue) --------
+
+    def collect_file_stats(self, rel_paths: list[str]) -> dict[str, dict]:
+        """Footer-only per-file stats: ``{rel_path: {min_key, max_key,
+        min_lsn, max_lsn, rows}}`` for the key column and the hidden LSN.
+
+        Reads ONLY parquet footers (row-group statistics), never row data —
+        O(files), not O(rows) — distributed over executors as a
+        ``mapInPandas`` job on the path list, so a backfill over 10^6 files
+        on a 100 TB table is a single narrow stage, no shuffle. Parquet
+        min/max for strings may be truncated by writers, but the format
+        guarantees truncated values remain VALID BOUNDS (truncated max is
+        incremented), and UTF-8 byte order equals code-point order, so
+        range checks against them are always safe. Files whose footers
+        can't be read or lack stats simply get no entry / null bounds —
+        stats are an optional accelerant, never a correctness dependency.
+        """
+        if not rel_paths:
+            return {}
+        key, lsn = self.key_col, LSN_COL
+        abs_to_rel = {self.fs.join(self.path, r): r for r in rel_paths}
+        paths_df = self.spark.createDataFrame(
+            [(p,) for p in abs_to_rel], T.StructType([T.StructField("path", T.StringType())])
+        ).repartition(min(len(abs_to_rel), 64))
+        key_type = self.schema()[key].dataType
+        out_schema = T.StructType([
+            T.StructField("path", T.StringType()),
+            T.StructField("min_key", key_type),
+            T.StructField("max_key", key_type),
+            T.StructField("min_lsn", T.LongType()),
+            T.StructField("max_lsn", T.LongType()),
+            T.StructField("rows", T.LongType()),
+        ])
+        key_is_str = isinstance(key_type, T.StringType)
+
+        def footer_stats(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            def norm(v):
+                if v is None:
+                    return None
+                if isinstance(v, bytes):
+                    try:
+                        v = v.decode("utf-8")
+                    except UnicodeDecodeError:
+                        return None
+                if key_is_str and not isinstance(v, str):
+                    return None
+                return v
+
+            for pdf in batches:
+                rows = []
+                for path in pdf["path"]:
+                    try:
+                        md = pq.ParquetFile(path).metadata
+                    except Exception:
+                        continue
+                    idx = {}
+                    for i in range(md.num_columns):
+                        idx[md.schema.column(i).name] = i
+                    nrows = md.num_rows
+                    mins = {key: [], lsn: []}
+                    maxs = {key: [], lsn: []}
+                    for col, acc_min, acc_max in ((key, mins[key], maxs[key]),
+                                                  (lsn, mins[lsn], maxs[lsn])):
+                        ci = idx.get(col)
+                        ok = ci is not None
+                        for rg in range(md.num_row_groups if ok else 0):
+                            st = md.row_group(rg).column(ci).statistics
+                            if st is None or not st.has_min_max:
+                                ok = False
+                                break
+                            acc_min.append(st.min)
+                            acc_max.append(st.max)
+                        if not ok:
+                            acc_min.clear()
+                            acc_max.clear()
+                    mk = norm(min(mins[key])) if mins[key] else None
+                    xk = norm(max(maxs[key])) if maxs[key] else None
+                    ml = int(min(mins[lsn])) if mins[lsn] else None
+                    xl = int(max(maxs[lsn])) if maxs[lsn] else None
+                    rows.append((path, mk, xk, ml, xl, int(nrows)))
+                yield pd.DataFrame(
+                    rows, columns=["path", "min_key", "max_key", "min_lsn", "max_lsn", "rows"]
+                )
+
+        out = {}
+        for r in paths_df.mapInPandas(footer_stats, out_schema).collect():
+            out[abs_to_rel[r["path"]]] = {
+                "min_key": r["min_key"], "max_key": r["max_key"],
+                "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
+                "rows": r["rows"],
+            }
+        return out
+
+    def stats_for_commit(self, new_files_by_bucket: dict[int, list[str]]) -> dict[str, dict] | None:
+        """Stats for freshly written files, or None when disabled via the
+        table property ``write.file_stats`` (default on). Writers call this
+        between ``write_bucket_files`` and ``commit``."""
+        if not self.properties().get("write.file_stats", True):
+            return None
+        rels = [f for fl in new_files_by_bucket.values() for f in fl]
+        return self.collect_file_stats(rels) if rels else None
+
+    def analyze(self, version: int | None = None) -> int:
+        """Backfill per-file stats for referenced files that lack an entry
+        (pre-stats snapshots, disabled writers) as a metadata-only commit.
+        Returns the new version (current version if nothing to do)."""
+        m = self.manifest(version)
+        have = m.get("file_stats", {})
+        missing = [f for fl in m["files"].values() for f in fl if f not in have]
+        if not missing:
+            return self.current_version()
+        stats = self.collect_file_stats(missing)
+        return self.commit(
+            {}, set(),
+            summary={"operation": "analyze", "files": len(stats)},
+            file_stats_update=stats,
+        )
+
     def commit(
         self,
         new_files_by_bucket: dict[int, list[str]],
@@ -748,6 +949,7 @@ class LakeTable:
         summary: dict[str, Any] | None = None,
         row_counts_update: dict[int, int] | None = None,
         key_counts_update: dict[int, int] | None = None,
+        file_stats_update: dict[str, dict] | None = None,
         append: bool = False,
     ) -> int:
         """Commit a new snapshot: replace files for ``replaced_buckets`` with
@@ -795,6 +997,17 @@ class LakeTable:
 
         row_counts = _apply_counts(m.get("row_counts", {}), row_counts_update)
         key_counts = _apply_counts(m.get("key_counts", {}), key_counts_update)
+        # Per-file stats follow the file lists exactly: carried forward only
+        # for files still referenced (a replaced bucket's old entries drop
+        # with its files), updated only for referenced files. Stats are an
+        # OPTIONAL accelerant — a file with no entry is simply never skipped.
+        referenced = {f for fl in files.values() for f in fl}
+        file_stats = {
+            f: s for f, s in m.get("file_stats", {}).items() if f in referenced
+        }
+        for f, s in (file_stats_update or {}).items():
+            if f in referenced:
+                file_stats[f] = s
         # Change-feed barrier watermark (O(1) fidelity guard): operations
         # that make an incremental diff across them unfaithful — tombstone
         # GC (delete evidence removed) and a full overwrite of a NON-empty
@@ -821,6 +1034,7 @@ class LakeTable:
             "files": files,
             "row_counts": row_counts,
             "key_counts": key_counts,
+            "file_stats": file_stats,
             "mor_buckets": sorted(mor),
             "properties": props,
             "summary": summary or {},
@@ -873,6 +1087,7 @@ class LakeTable:
             summary={"operation": "overwrite"},
             row_counts_update=counts,
             key_counts_update=counts,  # bootstrap: one row per key, no tombstones
+            file_stats_update=self.stats_for_commit(new_files),
         )
 
     # -- maintenance ---------------------------------------------------------

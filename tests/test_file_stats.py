@@ -1,0 +1,147 @@
+"""Per-file manifest statistics (Iceberg data-file stats analogue) and the
+file-skipping point-lookup path they power.
+
+Correctness contract under test: skipping may only drop files that provably
+contain NONE of the wanted keys — any file holding any version of a wanted
+key (tombstones included) has min_key <= key <= max_key and must be kept, so
+lookup results are bit-identical with and without stats.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from standardized_omop_data_etl_spark.plans.maintenance import compact_buckets
+from standardized_omop_data_etl_spark.plans.merge import merge_into
+from standardized_omop_data_etl_spark.sources.generators import base_sequences, change_log
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+N_DOCS = 400
+
+
+@pytest.fixture(scope="module")
+def table(spark, tmp_path_factory):
+    base = base_sequences(spark, N_DOCS, seed=11, max_len=32)
+    tbl = LakeTable.create(
+        spark, str(tmp_path_factory.mktemp("fstats") / "t"), schema=base.schema,
+        key_col="doc_id", num_buckets=4, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    return tbl
+
+
+def test_overwrite_collects_footer_exact_stats(table):
+    m = table.manifest()
+    stats = m.get("file_stats", {})
+    all_files = [f for fl in m["files"].values() for f in fl]
+    assert all_files and set(stats) == set(all_files)
+    # every entry matches the file's actual contents
+    for rel, s in stats.items():
+        pdf = pq.read_table(table.fs.join(table.path, rel),
+                            columns=["doc_id", "_lsn"]).to_pandas()
+        assert s["rows"] == len(pdf)
+        assert s["min_key"] == pdf["doc_id"].min()
+        assert s["max_key"] == pdf["doc_id"].max()
+        assert s["min_lsn"] == int(pdf["_lsn"].min())
+        assert s["max_lsn"] == int(pdf["_lsn"].max())
+
+
+def test_sorted_compaction_splits_disjoint_and_lookup_prunes(spark, tmp_path):
+    base = base_sequences(spark, N_DOCS, seed=12, max_len=16)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=base.schema, key_col="doc_id",
+        num_buckets=2, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    compact_buckets(tbl, max_files_per_bucket=0, target_rows_per_file=40)
+    m = tbl.manifest()
+    stats = m["file_stats"]
+    keys = [r[0] for r in tbl.read(columns=["doc_id"]).collect()]
+    for b, fl in m["files"].items():
+        assert len(fl) > 1, "target_rows_per_file should split each bucket"
+        ranges = sorted((stats[f]["min_key"], stats[f]["max_key"]) for f in fl)
+        for (_, hi), (lo2, _) in zip(ranges, ranges[1:]):
+            assert hi < lo2, "key-sorted rolled files must be range-disjoint"
+    # point lookup: at most one file PER BUCKET survives the skipper (ranges
+    # are disjoint within a bucket; across buckets they overlap by design)
+    probe = sorted(keys)[len(keys) // 2]
+    subset = LakeTable._skip_files_by_key(m, None, [probe])
+    for b, fl in m["files"].items():
+        assert len([f for f in fl if f in subset]) <= 1, f"bucket {b} kept >1 file"
+    assert 1 <= len(subset) <= len(m["files"])
+    got = tbl.lookup([probe]).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == probe
+    # a key below every range prunes everything yet returns cleanly
+    nothing = LakeTable._skip_files_by_key(m, None, [""])
+    assert nothing == set()
+    assert tbl.lookup([""]).count() == 0
+
+
+def test_statless_files_never_skipped_and_deletes_never_resurrect(spark, tmp_path):
+    base = base_sequences(spark, 100, seed=13, max_len=16)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=base.schema, key_col="doc_id",
+        num_buckets=2, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    compact_buckets(tbl, max_files_per_bucket=0, target_rows_per_file=20)
+    victim = tbl.read(columns=["doc_id"]).orderBy("doc_id").first()["doc_id"]
+    # merge a delete for a key the compacted (stats-bearing) files contain;
+    # per-epoch merges do NOT stamp stats by default -> delta file statless
+    ops = spark.createDataFrame(
+        [(10_000, "delete", victim, None, None, "src")],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    merge_into(tbl, ops, epoch="del", mode="mor")
+    m = tbl.manifest()
+    statless = [f for fl in m["files"].values() for f in fl if f not in m["file_stats"]]
+    assert statless, "mor delta should be statless by default"
+    assert set(LakeTable._skip_files_by_key(m, None, [victim])) >= set(statless)
+    # the tombstone must win through the skipping lookup: no resurrection
+    assert tbl.lookup([victim]).count() == 0
+    # untouched compacted files keep their carried-forward stats
+    assert m["file_stats"], "stats must carry forward across the merge commit"
+
+
+def test_analyze_backfills_and_merge_optin_stamps(spark, tmp_path):
+    base = base_sequences(spark, 100, seed=14, max_len=16)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=base.schema, key_col="doc_id",
+        num_buckets=2, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    log = change_log(spark, 200, 100, seed=14, max_len=16)
+    merge_into(tbl, log, epoch="e0")
+    m = tbl.manifest()
+    missing = [f for fl in m["files"].values() for f in fl if f not in m["file_stats"]]
+    assert missing, "cow rewrite files should be statless by default"
+    v = tbl.analyze()
+    m2 = tbl.manifest()
+    assert v == m2["version"]
+    assert all(f in m2["file_stats"] for fl in m2["files"].values() for f in fl)
+    assert tbl.analyze() == v, "analyze with nothing to do is a no-op"
+    # opt-in property makes merges stamp stats inline
+    tbl.commit({}, set(), properties_update={"write.file_stats.on_merge": True},
+               summary={"operation": "set_properties"})
+    log2 = change_log(spark, 100, 100, seed=15, max_len=16)
+    merge_into(tbl, log2, epoch="e1")
+    m3 = tbl.manifest()
+    assert all(f in m3["file_stats"] for fl in m3["files"].values() for f in fl)
+
+
+def test_lookup_equivalence_with_and_without_stats(spark, tmp_path):
+    base = base_sequences(spark, 200, seed=16, max_len=16)
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=base.schema, key_col="doc_id",
+        num_buckets=4, overwrite=True,
+    )
+    tbl.overwrite_full(base)
+    compact_buckets(tbl, max_files_per_bucket=0, target_rows_per_file=17)
+    keys = sorted(r[0] for r in tbl.read(columns=["doc_id"]).collect())
+    probes = keys[::37] + ["zz_absent"]
+    with_stats = sorted(map(tuple, tbl.lookup(probes).collect()))
+    # unpruned ground truth: full-scan isin filter over the same snapshot
+    full = sorted(
+        map(tuple, tbl.read().filter(F.col("doc_id").isin(probes)).collect())
+    )
+    assert with_stats == full and len(full) == len(probes) - 1
