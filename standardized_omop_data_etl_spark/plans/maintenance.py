@@ -105,7 +105,7 @@ def _rebucket_locked(table: LakeTable, new_num_buckets: int) -> int:
     out = df.withColumn("_bucket", bucket_expr(key, new_num_buckets))
     version = table.current_version() + 1
     clustered = out.repartition(new_num_buckets, F.col(key))
-    new_files, out_dir = table.write_bucket_files(clustered, version, cluster=False)
+    new_files, out_dir = table.write_bucket_files(clustered, version, cluster=False, bloom=True)
 
     # per-bucket counts from the written files in ONE narrow pass (key +
     # tombstone marker only): every written row is one key (the rewrite read
@@ -247,7 +247,7 @@ def vacuum_tombstones(table: LakeTable, watermark_lsn: int) -> int:
                 & (F.col(LSN_COL) < watermark_lsn)
             )
         ).withColumn("_bucket", bucket_expr(key, num_buckets))
-        new_files, out_dir = table.write_bucket_files(keep, version, cluster=False)
+        new_files, out_dir = table.write_bucket_files(keep, version, cluster=False, bloom=True)
         # visible counts are unchanged by tombstone GC — re-stamp them for the
         # rewritten buckets (commit drops counts of replaced buckets otherwise).
         # Distinct keys DO shrink (vacuumed tombstone keys are gone); every

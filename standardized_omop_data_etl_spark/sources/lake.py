@@ -551,9 +551,18 @@ class LakeTable:
         columns: list[str] | None = None,
         key_filter: DataFrame | None = None,
         file_subset: set[str] | None = None,
+        key_in: list | None = None,
     ) -> DataFrame:
         """Read the table (optionally a bucket subset / older snapshot /
         column subset).
+
+        ``key_in`` (driver-small literal key list) applies ``key IN (...)``
+        directly on the scan — unlike the ``key_filter`` semi-join it
+        reaches parquet as a pushed-down ``In`` predicate, so row-group
+        min/max (and key bloom filters on compacted files) prune INSIDE the
+        files the manifest couldn't skip. Same placement as ``key_filter``:
+        below merge-on-read LWW resolution, which is sound because per-key
+        resolution is independent across keys.
 
         ``file_subset`` (manifest-relative paths) further restricts the scan
         to specific data files — the file-skipping hook ``lookup`` drives
@@ -609,6 +618,8 @@ class LakeTable:
                 if not files:
                     return None
                 df = self.spark.read.schema(scan_schema).parquet(*files)
+                if key_in is not None:
+                    df = df.where(F.col(key).isin(key_in))
                 if key_filter is not None:
                     df = df.join(F.broadcast(key_filter.select(key)), on=key, how="left_semi")
                 return df
@@ -643,6 +654,8 @@ class LakeTable:
             if not files:
                 return None
             df = self.spark.read.schema(read_schema).parquet(*files)
+            if key_in is not None:
+                df = df.where(F.col(key).isin(key_in))
             if key_filter is not None:
                 df = df.join(F.broadcast(key_filter.select(key)), on=key, how="left_semi")
             return df
@@ -677,11 +690,15 @@ class LakeTable:
         up front: one driver-sized job hashes ``keys`` through the SAME
         ``bucket_expr`` the writer used (never a Python reimplementation of
         Murmur3 — the layout contract lives in one place), then the read
-        scans ONLY those buckets with the keys pushed down as a
-        ``key_filter`` semi-join. At 10^10 rows / 64k buckets a 10-key
-        lookup reads ~10 buckets' files instead of the table. ``keys`` must
-        be driver-small (it is collected into a broadcast); batch-sized key
-        sets belong in ``read(key_filter=...)`` with caller-chosen buckets.
+        scans ONLY those buckets with the keys pushed down as a literal
+        ``key IN (...)`` predicate — pushed to the parquet scan, so after
+        manifest file-skipping (``_skip_files_by_key``) the row-group
+        min/max and key bloom filters prune INSIDE the surviving files. At
+        10^10 rows / 64k buckets a 10-key lookup reads ~10 buckets' files,
+        and of a compacted bucket's key-sorted files typically ONE row
+        group. ``keys`` must be driver-small (they are inlined into the
+        plan); batch-sized key sets belong in ``read(key_filter=...)`` with
+        caller-chosen buckets.
         """
         if not keys:
             return self.read(version=version, buckets=[], include_hidden=include_hidden,
@@ -695,7 +712,7 @@ class LakeTable:
         # Bucket ids must be computed against the SNAPSHOT's layout, not the
         # current one — a rebucket between `version` and HEAD changes both
         # the count and (hypothetically) the function. Unknown bucket_fn →
-        # scan every bucket; the key_filter still prunes rows.
+        # scan every bucket; the key_in predicate still prunes rows.
         if m.get("bucket_fn") == BUCKET_FN:
             buckets = sorted(
                 r[0] for r in
@@ -708,7 +725,7 @@ class LakeTable:
         file_subset = self._skip_files_by_key(m, buckets, keys)
         return self.read(
             version=version, buckets=buckets, include_hidden=include_hidden,
-            columns=columns, key_filter=kdf, file_subset=file_subset,
+            columns=columns, key_in=list(keys), file_subset=file_subset,
         )
 
     @staticmethod
@@ -768,6 +785,7 @@ class LakeTable:
         out_dir: str | None = None,
         sort_within: bool = False,
         max_records_per_file: int | None = None,
+        bloom: bool | None = None,
     ) -> tuple[dict[int, list[str]], str]:
         """Write ``df`` (which must carry an int ``_bucket`` column) as one
         dir per bucket under a snapshot data dir; returns
@@ -798,6 +816,19 @@ class LakeTable:
         writer = out.write.partitionBy("_bucket").mode("append")
         if max_records_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        if bloom is None:
+            bloom = cluster
+        if bloom and self.properties().get("write.parquet.bloom.key", True):
+            # Key bloom filters on rewrites of long-lived files (compaction,
+            # vacuum, rebucket, overwrite): a pushed-down `key IN (...)`
+            # lookup then skips row groups whose min/max happen to straddle
+            # a probed key. Epoch delta writes default bloom-off (they are
+            # small and soon compacted; default follows ``cluster``).
+            ndv = max_records_per_file or 1_000_000
+            writer = (
+                writer.option(f"parquet.bloom.filter.enabled#{self.key_col}", "true")
+                .option(f"parquet.bloom.filter.expected.ndv#{self.key_col}", int(ndv))
+            )
         writer.parquet(out_dir)
         return self.list_bucket_files(out_dir), out_dir
 

@@ -145,3 +145,51 @@ def test_lookup_equivalence_with_and_without_stats(spark, tmp_path):
         map(tuple, tbl.read().filter(F.col("doc_id").isin(probes)).collect())
     )
     assert with_stats == full and len(full) == len(probes) - 1
+
+
+def test_lookup_pushes_literal_in_predicate(table):
+    """The point-lookup key list must reach the parquet scan as a pushed-down
+    ``In`` predicate (row-group min/max + bloom pruning), not be held back
+    behind a semi-join."""
+    keys = [r[0] for r in table.read().select("doc_id").limit(3).collect()]
+    plan = table.lookup(keys)._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert scan_lines, plan
+    assert any("In(doc_id" in l for l in scan_lines), scan_lines
+    assert "BroadcastHashJoin" not in plan  # no join for a literal key list
+
+
+def test_lookup_of_deleted_key_returns_nothing(spark, tmp_path):
+    """A tombstoned key must stay invisible through the pushed-down path —
+    the In predicate keeps the tombstone row in-scan (it carries the key) and
+    the visibility filter still removes it above."""
+    base = base_sequences(spark, 50, seed=21, max_len=16)
+    tbl = LakeTable.create(spark, str(tmp_path / "t"), schema=base.schema,
+                           key_col="doc_id", num_buckets=2, overwrite=True)
+    tbl.overwrite_full(base)
+    victim = tbl.read().select("doc_id").limit(1).collect()[0][0]
+    batch = spark.createDataFrame(
+        [(10_000, "delete", victim, None, None, None)],
+        "lsn long, op string, doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    merge_into(tbl, batch, epoch="del-1")
+    assert tbl.lookup([victim]).count() == 0
+    # ... but time travel to the pre-delete snapshot still finds it
+    assert tbl.lookup([victim], version=1).count() == 1
+
+
+def test_clustered_rewrites_write_key_bloom(spark, tmp_path):
+    """Compaction/overwrite files carry a key bloom filter (footer grows);
+    the table property turns it off."""
+    import glob, os
+    base = base_sequences(spark, 2000, seed=22, max_len=16)
+    sizes = {}
+    for name, props in [("on", None), ("off", {"write.parquet.bloom.key": False})]:
+        tbl = LakeTable.create(spark, str(tmp_path / name), schema=base.schema,
+                               key_col="doc_id", num_buckets=1, overwrite=True,
+                               properties=props)
+        tbl.overwrite_full(base)
+        files = glob.glob(str(tmp_path / name) + "/data/*/_bucket=0/*.parquet")
+        sizes[name] = sum(os.path.getsize(f) for f in files)
+        assert tbl.lookup([tbl.read().select("doc_id").limit(1).collect()[0][0]]).count() == 1
+    assert sizes["on"] > sizes["off"]
