@@ -40,6 +40,12 @@ class MaintenancePolicy:
       ``max_files_per_bucket + every_epochs``.
     * ``expire_keep_last`` — snapshots retained by the GC pass (None skips
       snapshot expiry — keep everything for time travel).
+    * ``orphan_sweep`` — also run ``LakeTable.remove_orphan_files`` each
+      sweep (crashed-writer leftovers). Off by default: orphans only exist
+      after a crash, and the sweep LISTs the whole data root — cheap locally,
+      a real object-store cost at 10^10-row table sizes. Turn it on for
+      long-lived streaming sinks, or run the action manually after an
+      incident.
     * ``vacuum`` — GC tombstones below the replay's applied LSN watermark.
       Only ``replay_log`` honors it: its epochs ascend in disjoint LSN
       ranges, so after epoch (lo, hi) no event with lsn < hi can ever
@@ -53,6 +59,7 @@ class MaintenancePolicy:
     max_files_per_bucket: int = 8
     expire_keep_last: int | None = 4
     vacuum: bool = False
+    orphan_sweep: bool = False
 
 
 def run_maintenance(
@@ -64,6 +71,8 @@ def run_maintenance(
         vacuum_tombstones(table, watermark_lsn=watermark_lsn)
     if policy.expire_keep_last is not None:
         table.expire_snapshots(keep_last=policy.expire_keep_last)
+    if policy.orphan_sweep:
+        table.remove_orphan_files()
 
 
 def snapshot_diff(

@@ -1283,3 +1283,75 @@ class LakeTable:
                             removed.append(f)
             self.fs.remove(self._meta_path(f"v{v}.json"))
         return removed
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data files NO snapshot references — the leftovers of a
+        writer that crashed after writing parquet but before its manifest
+        commit (Iceberg's ``remove_orphan_files`` action; ``expire_snapshots``
+        only GCs files that once WERE referenced).
+
+        Safety without mtimes (the ``FileSystem`` seam has none): data dirs
+        are stamped with the writer's target version at creation
+        (``_new_data_dir`` → ``data/snap-v{V}-{uuid}``), and the table is
+        single-writer under the lease this method itself holds — so any
+        ``snap-v{V}`` dir with ``V < current_version()`` that no existing
+        manifest references belongs to a dead writer: its author would have
+        committed AT ``V`` (or later), and a commit landing after it would
+        have referenced its files. Dirs stamped at the CURRENT version are
+        skipped — a just-crashed writer's dir parks there until the next
+        successful commit bumps the version, at which point it becomes
+        collectable. Merge scratch dirs are a different lifecycle
+        (``plans.merge._sweep_stale_scratch``) and are left alone.
+
+        O(listing): reads manifests and directory listings only, never row
+        data. Returns the removed manifest-relative paths.
+        """
+        owner = self.acquire_writer_lease()
+        try:
+            current = self.current_version()
+            referenced: set[str] = set()
+            meta_dir = self.fs.join(self.path, METADATA_DIR)
+            for name in self.fs.listdir(meta_dir):
+                if name.startswith("v") and name.endswith(".json"):
+                    for fl in self.manifest(int(name[1:-5]))["files"].values():
+                        referenced.update(fl)
+            removed: list[str] = []
+            data_root = self.fs.join(self.path, DATA_DIR)
+            if not self.fs.isdir(data_root):
+                return removed
+            for entry in self.fs.listdir(data_root):
+                if not entry.startswith("snap-v"):
+                    continue
+                try:
+                    ver = int(entry.split("-")[1][1:])
+                except (IndexError, ValueError):
+                    continue
+                if ver >= current:
+                    continue  # possibly an in-flight write toward current+1
+                snap_dir = self.fs.join(data_root, entry)
+                live = 0
+                for sub in list(self.fs.listdir(snap_dir)):
+                    subp = self.fs.join(snap_dir, sub)
+                    if not (sub.startswith("_bucket=") and self.fs.isdir(subp)):
+                        continue
+                    for f in list(self.fs.listdir(subp)):
+                        if not f.endswith(".parquet"):
+                            continue
+                        p = self.fs.join(subp, f)
+                        rel = self.fs.relpath(p, self.path)
+                        if rel in referenced:
+                            live += 1
+                        else:
+                            self.fs.remove(p)
+                            removed.append(rel)
+                    if not any(
+                        x.endswith(".parquet") for x in self.fs.listdir(subp)
+                    ):
+                        self.fs.rmtree(subp)
+                if live == 0 and not any(
+                    s.startswith("_bucket=") for s in self.fs.listdir(snap_dir)
+                ):
+                    self.fs.rmtree(snap_dir)  # fully orphaned write: drop markers too
+            return removed
+        finally:
+            self.release_writer_lease(owner)

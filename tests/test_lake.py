@@ -199,3 +199,75 @@ def test_decode_codec_selection_and_fallback(spark):
         )
         # non-image kinds bypass PIL entirely
         assert _decode_pil_image(b"\x01\x02", "audio") == _decode_stub(b"\x01\x02", "audio")
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Crashed-writer leftovers (parquet written, manifest never committed)
+    are GC'd; referenced files and table state are untouched; dirs stamped
+    at the current version (a possibly in-flight write) are left alone."""
+    from standardized_omop_data_etl_spark.sources.lake import bucket_expr
+
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=df.schema, key_col="k", num_buckets=2
+    )
+    tbl.overwrite_full(df)
+    before = sorted(tbl.read().orderBy("k").collect())
+
+    # a "crashed" writer: files land under the CURRENT version's stamp, no commit
+    stranded = df.withColumn("v", F.col("v") + 100).withColumn(
+        "_bucket", bucket_expr("k", tbl.num_buckets)
+    )
+    _, crash_dir = tbl.write_bucket_files(stranded, tbl.current_version())
+    assert tbl.remove_orphan_files() == []  # stamped at current: protected
+
+    # the next successful commit bumps the version; the dir becomes collectable
+    tbl.overwrite_full(df)
+    removed = tbl.remove_orphan_files()
+    assert removed and all(r.startswith("data/snap-v") for r in removed)
+    assert not tbl.fs.exists(crash_dir)  # fully orphaned dir dropped wholesale
+    assert sorted(tbl.read().orderBy("k").collect()) == sorted(
+        spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int").collect()
+    )
+    # time travel to the pre-orphan snapshot still works (its files were referenced)
+    assert sorted(tbl.read(version=1).orderBy("k").collect()) == before
+    # idempotent
+    assert tbl.remove_orphan_files() == []
+
+
+def test_remove_orphan_files_respects_foreign_lease(spark, tmp_path):
+    from standardized_omop_data_etl_spark.sources.lake import ConcurrentWriterError
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=df.schema, key_col="k", num_buckets=2
+    )
+    tbl.overwrite_full(df)
+    owner = tbl.acquire_writer_lease()
+    try:
+        with pytest.raises(ConcurrentWriterError):
+            tbl.remove_orphan_files()
+    finally:
+        tbl.release_writer_lease(owner)
+
+
+def test_maintenance_policy_orphan_sweep(spark, tmp_path):
+    from standardized_omop_data_etl_spark.plans.maintenance import (
+        MaintenancePolicy,
+        run_maintenance,
+    )
+    from standardized_omop_data_etl_spark.sources.lake import bucket_expr
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    tbl = LakeTable.create(
+        spark, str(tmp_path / "t"), schema=df.schema, key_col="k", num_buckets=2
+    )
+    tbl.overwrite_full(df)
+    stranded = df.withColumn("_bucket", bucket_expr("k", tbl.num_buckets))
+    _, crash_dir = tbl.write_bucket_files(stranded, tbl.current_version())
+    tbl.overwrite_full(df)  # bump past the stranded dir's stamp
+    run_maintenance(
+        tbl, MaintenancePolicy(expire_keep_last=None, orphan_sweep=True)
+    )
+    assert not tbl.fs.exists(crash_dir)
+    assert tbl.read().count() == 2
