@@ -807,7 +807,23 @@ class LakeTable:
         subsequence of a sorted stream is sorted). Combined with per-file
         manifest stats this makes point ``lookup``s skip to one file per
         bucket no matter how large the bucket grows.
+
+        Table property ``write.target_rows_per_file`` applies that pair as
+        the default for EVERY write that doesn't size its files explicitly
+        (cow bucket rewrites, mor deltas, compaction, vacuum, overwrite,
+        rebucket). At 10^10 rows a bucket is tens of GB — one file per
+        rewrite means unsplittable multi-GB parquet and an O(bucket) open
+        cost per lookup; the property bounds every produced file and keeps
+        the sorted-run invariant continuously, not just after compaction.
+        An explicit ``max_records_per_file`` argument overrides it.
         """
+        if max_records_per_file is None:
+            prop = self.properties().get("write.target_rows_per_file")
+            if prop:
+                max_records_per_file = int(prop)
+                # rolled files must stay disjoint key runs, else per-file
+                # manifest stats degrade to whole-bucket ranges
+                sort_within = True
         if out_dir is None:
             out_dir = self._new_data_dir(version)
         out = df.repartition(self.num_buckets, F.col(self.key_col)) if cluster else df

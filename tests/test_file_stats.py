@@ -193,3 +193,41 @@ def test_clustered_rewrites_write_key_bloom(spark, tmp_path):
         sizes[name] = sum(os.path.getsize(f) for f in files)
         assert tbl.lookup([tbl.read().select("doc_id").limit(1).collect()[0][0]]).count() == 1
     assert sizes["on"] > sizes["off"]
+
+
+def test_target_rows_per_file_property_bounds_every_write(spark, tmp_path):
+    """write.target_rows_per_file bounds files from EVERY writer (overwrite,
+    cow merge rewrite, mor delta, compaction) and keeps results bit-identical
+    to an unbounded table fed the same ops."""
+    base = base_sequences(spark, N_DOCS, seed=12, max_len=32)
+    log = change_log(spark, num_events=800, num_base_docs=N_DOCS, seed=13, max_len=32)
+    cap = 60
+
+    def build(path, props, mode):
+        tbl = LakeTable.create(
+            spark, path, schema=base.schema, key_col="doc_id", num_buckets=4,
+            overwrite=True, properties=props,
+        )
+        tbl.overwrite_full(base)
+        merge_into(tbl, log.filter(F.col("lsn") < 400), epoch="e0", mode=mode)
+        merge_into(tbl, log.filter(F.col("lsn") >= 400), epoch="e1", mode=mode)
+        compact_buckets(tbl, max_files_per_bucket=0)
+        return tbl
+
+    for mode in ("cow", "mor"):
+        bounded = build(str(tmp_path / f"b_{mode}"),
+                        {"write.target_rows_per_file": cap}, mode)
+        free = build(str(tmp_path / f"f_{mode}"), None, mode)
+        # every physical file ever committed in the CURRENT snapshot is capped
+        m = bounded.manifest()
+        for fl in m["files"].values():
+            for rel in fl:
+                n = pq.read_metadata(bounded.fs.join(bounded.path, rel)).num_rows
+                assert n <= cap, (mode, rel, n)
+        # same logical state as the unbounded table
+        a = sorted(map(tuple, bounded.read().orderBy("doc_id").collect()))
+        b = sorted(map(tuple, free.read().orderBy("doc_id").collect()))
+        assert a == b, mode
+        # rolled files stay disjoint sorted runs: point lookup plans few files
+        k = bounded.read(columns=["doc_id"]).limit(1).collect()[0][0]
+        assert bounded.lookup([k]).count() == 1
