@@ -43,6 +43,11 @@ def main() -> None:
     ap.add_argument("--lww", choices=("window", "narrow", "auto"), default="auto",
                     help="LWW kernel (narrow = map-side max + winners-only payload "
                          "shuffle; auto = resolve per epoch shape, the library default)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="overlap each mor epoch's delta write with the previous "
+                         "epoch's probe+commit (replay_log(pipeline=True)) — the "
+                         "Amdahl fix for per-epoch serial fixed costs at small "
+                         "epoch grains")
     ap.add_argument("--maintain-every", type=int, default=0,
                     help="run the in-loop MaintenancePolicy sweep (compaction + "
                          "tombstone vacuum) every N applied epochs — the deployed "
@@ -98,7 +103,8 @@ def main() -> None:
     results = replay_log(tbl, log, num_epochs=args.epochs,
                          salt_partitions=args.salt or None,
                          lsn_range=(0, args.events - 1), mode=args.mode,
-                         lww_strategy=args.lww, maintenance=policy)
+                         lww_strategy=args.lww, maintenance=policy,
+                         pipeline=args.pipeline)
     wall = time.time() - t1
     applied = sum(r.metrics.get("events_seen", 0) for r in results)
     rows = tbl.read().count()
@@ -118,6 +124,7 @@ def main() -> None:
         "mode": args.mode,
         "lww": args.lww,
         "maintain_every": args.maintain_every,
+        "pipeline": args.pipeline,
     }))
     shutil.rmtree(table_path, ignore_errors=True)
 

@@ -49,7 +49,8 @@ def wait_quiet(load_max: float, max_wait_sec: float = 900.0) -> float:
 
 
 def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
-             keep: bool, mode: str, lww: str, maintain_every: int = 0) -> dict:
+             keep: bool, mode: str, lww: str, maintain_every: int = 0,
+             pipeline: bool = False) -> dict:
     cmd = []
     if os.environ.get("SCALE_TASKSET") == "1":
         # Pin the WHOLE JVM (task threads + GC + IO + codegen) to exactly
@@ -71,6 +72,8 @@ def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
         "--buckets", "64", "--workdir", workdir, "--mode", mode, "--lww", lww,
         "--maintain-every", str(maintain_every),
     ]
+    if pipeline:
+        cmd.append("--pipeline")
     if keep:
         cmd.append("--keep-input")
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
@@ -92,6 +95,7 @@ def main() -> None:
     mode = os.environ.get("SCALE_MODE", "cow")
     lww = os.environ.get("SCALE_LWW", "auto")
     maintain_every = int(os.environ.get("SCALE_MAINTAIN", "0"))
+    pipeline = os.environ.get("SCALE_PIPELINE") == "1"
     load_max = float(os.environ.get("SCALE_LOAD_MAX", "2.5"))
     workdir = os.environ.get("SCALE_WORKDIR", "/dev/shm/rb_evidence")
     out_name = os.environ.get("SCALE_OUT", f"scaling_evidence_{n}_{4*n}.json")
@@ -106,7 +110,8 @@ def main() -> None:
             subprocess.run(["sync"])
             load = wait_quiet(load_max)
             r = run_once(cores, events, docs, epochs, workdir, keep=not first,
-                         mode=mode, lww=lww, maintain_every=maintain_every)
+                         mode=mode, lww=lww, maintain_every=maintain_every,
+                         pipeline=pipeline)
             first = False
             results[cores].append(r)
             leg = {"rep": rep, "cores": cores,
@@ -137,6 +142,7 @@ def main() -> None:
     summary["config"] = {
         "events": events, "docs": docs, "epochs": epochs, "reps": reps, "cores": pair,
         "mode": mode, "lww": lww, "maintain_every": maintain_every,
+        "pipeline": pipeline,
         "pinned": os.environ.get("SCALE_TASKSET") == "1",
         "load_gate": load_max,
     }

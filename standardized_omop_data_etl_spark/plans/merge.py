@@ -267,6 +267,7 @@ def merge_into(
     lww_strategy: str = "auto",
     batch_rows_est: int | None = None,
     batch_rows_bound: int | None = None,
+    prepared: PreparedDelta | None = None,
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
     enforced via the table's writer lease (a concurrent merge raises
@@ -311,6 +312,12 @@ def merge_into(
     kernel's broadcast size guard: under the broadcast margin it proves the
     winner set broadcastable and skips the per-epoch HLL probe job entirely.
     Pass it only when it is a true bound — an under-report defeats the guard.
+
+    ``prepared`` hands in this epoch's pre-written mor delta files
+    (``prepare_mor_delta`` — the pipelined replay lookahead). Only the mor
+    path consumes it; any other resolution (cow mode, skipped epoch, schema
+    drift since the prepare) discards the files and proceeds normally, so a
+    stale lookahead can never corrupt state — at worst it re-does the work.
     """
     if mode not in ("cow", "mor", "auto"):
         raise ValueError(
@@ -331,7 +338,12 @@ def merge_into(
             batch_rows_est, table.spark.sparkContext.defaultParallelism
         )
     epoch = str(epoch)
+    if prepared is not None and mode != "mor":
+        prepared.discard(table)  # lookahead only serves the mor apply path
+        prepared = None
     if _is_applied(table, epoch):
+        if prepared is not None:
+            prepared.discard(table)
         return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
     lease_owner = table.acquire_writer_lease()
     try:
@@ -340,9 +352,15 @@ def merge_into(
         # be LWW-safe for the data but would commit a spurious version and
         # clobber the epoch's recorded metrics.
         if _is_applied(table, epoch):
+            if prepared is not None:
+                prepared.discard(table)
             return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
-        fn = _merge_mor_locked if mode == "mor" else _merge_into_locked
-        return fn(
+        if mode == "mor":
+            return _merge_mor_locked(
+                table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
+                lease_owner, missing, lww_strategy, batch_rows_bound, prepared,
+            )
+        return _merge_into_locked(
             table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
             lease_owner, missing, lww_strategy, batch_rows_bound,
         )
@@ -395,6 +413,137 @@ def _lww_winners(
         # re-align once so the bucketed write stays ~1 file per bucket
         src = src.repartition(num_buckets, F.col(key))
     return src
+
+
+@dataclass
+class PreparedDelta:
+    """One epoch's LWW winners, pre-written as final mor delta files AHEAD of
+    the epoch's lease/commit window — the unit of the pipelined replay
+    lookahead (``plans.replay.replay_log(pipeline=True)``).
+
+    The delta write is a pure function of (batch, table schema): it reads no
+    table data and mutates no table state, so it can run concurrently with
+    the PREVIOUS epoch's metrics probe and commit — overlapping the loop's
+    per-epoch serial fraction (driver-side commit I/O, lease heartbeats,
+    stats reduction) with cluster work. At small epoch grains that serial
+    fraction is exactly what compresses N→4N scaling efficiency (Amdahl),
+    so the overlap buys efficiency, not just wall-clock.
+
+    Crash safety: the files live in a fresh uuid'd ``snap-v{V}`` dir written
+    BEFORE any manifest references them — a crash strands them exactly like
+    a crashed writer's output, and ``LakeTable.remove_orphan_files`` reclaims
+    them once the version counter passes their stamp. ``schema_json`` pins
+    the table schema the payload was conformed to; the consuming merge
+    re-checks it under the lease and rewrites the delta if the table evolved
+    in between (single-writer loops make that impossible, but the check
+    keeps the API safe to misuse).
+    """
+
+    epoch: str
+    new_files: dict[int, list[str]]
+    out_dir: str
+    schema_json: str
+
+    def discard(self, table: LakeTable) -> None:
+        table.fs.rmtree(self.out_dir)
+
+
+def _write_mor_delta(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: str,
+    lsn_col: str,
+    op_col: str,
+    salt_partitions: int | None,
+    source_name: str,
+    evolved: T.StructType,
+    lww_strategy: str,
+    batch_rows_bound: int | None,
+    version: int,
+) -> tuple[dict[int, list[str]], str]:
+    """LWW-reduce one batch and write the winners as final per-bucket mor
+    delta files (hidden columns stamped in the same projection). Shared by
+    the locked mor merge and the pipelined ``prepare_mor_delta`` lookahead —
+    both paths MUST produce identical files, so this is the only writer."""
+    key = table.key_col
+    num_buckets = table.num_buckets
+    batch = batch.filter(
+        F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
+    )
+    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets,
+                              lww_strategy, rows_bound=batch_rows_bound)
+    src_lineage = F.concat_ws(
+        " | ",
+        F.lit(source_name),
+        F.concat(F.lit("epoch="), F.lit(epoch)),
+        F.concat(F.lit("op="), F.col(op_col)),
+        F.concat(F.lit("lsn="), F.col(lsn_col).cast("string")),
+    )
+    delta = winners_df.select(
+        *conform_exprs(winners_df, evolved),
+        F.col(lsn_col).cast("long").alias(LSN_COL),
+        src_lineage.alias(LINEAGE_COL),
+        (F.col(op_col) == "delete").alias(DELETED_COL),
+        F.col("_n_events").cast("long").alias("_n_events"),
+        bucket_expr(key, num_buckets).alias("_bucket"),
+    )
+    new_files, out_dir = table.write_bucket_files(delta, version, cluster=False)
+    unpersist_pinned(winners_df)  # winners are final delta files now
+    return new_files, out_dir
+
+
+def prepare_mor_delta(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch: int | str,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    salt_partitions: int | None = None,
+    source_name: str = "changelog",
+    missing: str = "null",
+    lww_strategy: str = "auto",
+    batch_rows_est: int | None = None,
+    batch_rows_bound: int | None = None,
+) -> PreparedDelta | None:
+    """Pre-write one epoch's mor delta files without taking the writer lease
+    (the pipelined replay lookahead — see ``PreparedDelta``).
+
+    Returns ``None`` when the lookahead cannot run ahead safely and the
+    caller should fall through to a plain ``merge_into``:
+
+    * the epoch is already stamped (resumed replay — nothing to do), or
+    * the batch's payload schema diffs from the table's (ALTER-before-MERGE
+      must run under the lease, serially, so the delta conforms to the
+      POST-alter schema).
+
+    The files are stamped at ``current_version() + 2`` — the version the
+    epoch's own commit lands at when the in-flight previous epoch commits
+    first (+1). ``remove_orphan_files`` skips dirs stamped at or above the
+    current version, so an in-flight lookahead is never collectable while
+    its window is open; a crashed one becomes collectable as soon as the
+    version counter passes it.
+    """
+    epoch = str(epoch)
+    if table.is_epoch_applied(epoch):
+        return None
+    payload_schema = T.StructType(
+        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col)]
+    )
+    evolved, changes = diff_schema(table.schema(), payload_schema, missing=missing)
+    if changes:
+        return None
+    if lww_strategy == "auto":
+        lww_strategy = resolve_lww_strategy(
+            batch_rows_est, table.spark.sparkContext.defaultParallelism
+        )
+    new_files, out_dir = _write_mor_delta(
+        table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
+        evolved, lww_strategy, batch_rows_bound,
+        version=table.current_version() + 2,
+    )
+    return PreparedDelta(
+        epoch=epoch, new_files=new_files, out_dir=out_dir, schema_json=evolved.json()
+    )
 
 
 def _reduce_cow_stats(
@@ -755,6 +904,7 @@ def _merge_mor_locked(
     missing: str = "null",
     lww_strategy: str = "narrow",
     batch_rows_bound: int | None = None,
+    prepared: PreparedDelta | None = None,
 ) -> MergeResult:
     """Merge-on-read apply: ONE payload write per epoch.
 
@@ -805,31 +955,26 @@ def _merge_mor_locked(
 
     # ---- 2. LWW winners written ONCE as final delta files (hidden cols
     # stamped in the same projection; the window exchange is bucket-aligned
-    # so each task streams straight into its bucket dir).
-    batch = batch.filter(
-        F.col(op_col).isin(*VALID_OPS) & F.col(lsn_col).isNotNull() & F.col(key).isNotNull()
-    )
-    winners_df = _lww_winners(batch, key, lsn_col, salt_partitions, num_buckets,
-                              lww_strategy, rows_bound=batch_rows_bound)
-    src = winners_df
-    src_lineage = F.concat_ws(
-        " | ",
-        F.lit(source_name),
-        F.concat(F.lit("epoch="), F.lit(epoch)),
-        F.concat(F.lit("op="), F.col(op_col)),
-        F.concat(F.lit("lsn="), F.col(lsn_col).cast("string")),
-    )
-    delta = src.select(
-        *conform_exprs(src, evolved),
-        F.col(lsn_col).cast("long").alias(LSN_COL),
-        src_lineage.alias(LINEAGE_COL),
-        (F.col(op_col) == "delete").alias(DELETED_COL),
-        F.col("_n_events").cast("long").alias("_n_events"),
-        bucket_expr(key, num_buckets).alias("_bucket"),
-    )
-    version = table.current_version() + 1
-    new_files, _ = table.write_bucket_files(delta, version, cluster=False)
-    unpersist_pinned(winners_df)  # winners are final delta files now
+    # so each task streams straight into its bucket dir). A pipelined
+    # lookahead may have written these files already — consume them iff the
+    # schema it conformed to is still the table's evolved schema (re-checked
+    # HERE, under the lease); otherwise the lookahead is stale: discard and
+    # rewrite.
+    if (
+        prepared is not None
+        and prepared.epoch == epoch
+        and not changes
+        and prepared.schema_json == evolved.json()
+    ):
+        new_files = prepared.new_files
+    else:
+        if prepared is not None:
+            prepared.discard(table)
+        new_files, _ = _write_mor_delta(
+            table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
+            evolved, lww_strategy, batch_rows_bound,
+            version=table.current_version() + 1,
+        )
     touched = sorted(new_files)
     mark("lww+delta")
 

@@ -18,11 +18,18 @@ and deterministically replays everything (``:11-54``). Here:
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.lake import LakeTable
 from .maintenance import MaintenancePolicy, run_maintenance
-from .merge import MergeResult, merge_into
+from .merge import (
+    MergeResult,
+    merge_into,
+    prepare_mor_delta,
+    resolve_merge_mode,
+)
 
 
 def epoch_bounds(min_lsn: int, max_lsn: int, num_epochs: int) -> list[tuple[int, int]]:
@@ -51,6 +58,7 @@ def replay_log(
     mode: str = "cow",
     lww_strategy: str = "auto",
     maintenance: "MaintenancePolicy | None" = None,
+    pipeline: bool = False,
 ) -> list[MergeResult]:
     """Apply an entire change log as ``num_epochs`` MERGE commits.
 
@@ -68,6 +76,19 @@ def replay_log(
     file counts and metadata bounded without the caller scheduling anything.
     The vacuum watermark is the completed epoch's upper LSN bound — epochs
     ascend in disjoint ranges, so no event below it can arrive later.
+
+    ``pipeline=True`` overlaps each epoch's delta WRITE with the previous
+    epoch's probe + commit using a one-slot lookahead thread (mor epochs
+    only — ``plans.merge.prepare_mor_delta``). The delta write is a pure
+    function of (batch, schema), so running it ahead of the lease window is
+    safe; commits stay strictly ordered in this thread, so exactly-once,
+    metrics, and resume semantics are unchanged (verified bit-exact by
+    ``tests/test_pipeline.py``). The win is Amdahl, not raw CPU: per-epoch
+    driver-serial time (commit fsync, lease I/O, stats reduction, job
+    scheduling gaps) no longer leaves the cluster idle, which is what
+    compresses N→4N efficiency at small epoch grains. Lookaheads that can't
+    run ahead (schema evolution, cow-resolved epochs, already-applied
+    epochs) degrade to the serial path per epoch, never failing the replay.
     """
     if lsn_range is not None:
         lo_v, hi_v = lsn_range
@@ -78,31 +99,42 @@ def replay_log(
         if lo_hi["lo"] is None:
             return []
         lo_v, hi_v = int(lo_hi["lo"]), int(lo_hi["hi"])
+    bounds = epoch_bounds(lo_v, hi_v, num_epochs)
+
+    def batch_of(lo: int, hi: int) -> DataFrame:
+        return log.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) < hi))
+
+    def apply_epoch(lo: int, hi: int, prepared=None) -> MergeResult:
+        return merge_into(
+            table,
+            batch_of(lo, hi),
+            epoch=f"{epoch_prefix}:{lo}-{hi}",
+            lsn_col=lsn_col,
+            op_col=op_col,
+            salt_partitions=salt_partitions,
+            mode=mode,
+            lww_strategy=lww_strategy,
+            # the epoch's LSN span upper-bounds its event count — free,
+            # and over-estimating biases mode="auto" toward cow (safe).
+            # As a HARD bound it also proves the narrow kernel's winner
+            # broadcast safe when under the cap, skipping the per-epoch
+            # HLL probe job (LSNs are unique integers, so at most hi-lo
+            # events exist in [lo, hi)).
+            batch_rows_est=hi - lo,
+            batch_rows_bound=hi - lo,
+            prepared=prepared,
+        )
+
+    if pipeline:
+        return _replay_pipelined(
+            table, bounds, batch_of, apply_epoch, lsn_col, op_col,
+            salt_partitions, epoch_prefix, mode, lww_strategy, maintenance, hi_v,
+        )
+
     results: list[MergeResult] = []
     applied_since_sweep = 0
-    for lo, hi in epoch_bounds(lo_v, hi_v, num_epochs):
-        epoch_id = f"{epoch_prefix}:{lo}-{hi}"
-        batch = log.filter((F.col(lsn_col) >= lo) & (F.col(lsn_col) < hi))
-        results.append(
-            merge_into(
-                table,
-                batch,
-                epoch=epoch_id,
-                lsn_col=lsn_col,
-                op_col=op_col,
-                salt_partitions=salt_partitions,
-                mode=mode,
-                lww_strategy=lww_strategy,
-                # the epoch's LSN span upper-bounds its event count — free,
-                # and over-estimating biases mode="auto" toward cow (safe).
-                # As a HARD bound it also proves the narrow kernel's winner
-                # broadcast safe when under the cap, skipping the per-epoch
-                # HLL probe job (LSNs are unique integers, so at most hi-lo
-                # events exist in [lo, hi)).
-                batch_rows_est=hi - lo,
-                batch_rows_bound=hi - lo,
-            )
-        )
+    for lo, hi in bounds:
+        results.append(apply_epoch(lo, hi))
         if maintenance is not None and not results[-1].skipped:
             applied_since_sweep += 1
             if maintenance.every_epochs and applied_since_sweep >= maintenance.every_epochs:
@@ -111,6 +143,93 @@ def replay_log(
                     watermark_lsn=hi if maintenance.vacuum else None,
                 )
                 applied_since_sweep = 0
+    if maintenance is not None and applied_since_sweep:
+        run_maintenance(
+            table, maintenance, watermark_lsn=hi_v + 1 if maintenance.vacuum else None
+        )
+    return results
+
+
+def _replay_pipelined(
+    table: LakeTable,
+    bounds: list[tuple[int, int]],
+    batch_of,
+    apply_epoch,
+    lsn_col: str,
+    op_col: str,
+    salt_partitions: int | None,
+    epoch_prefix: str,
+    mode: str,
+    lww_strategy: str,
+    maintenance: "MaintenancePolicy | None",
+    hi_v: int,
+) -> list[MergeResult]:
+    """One-slot lookahead epoch loop (see ``replay_log(pipeline=True)``).
+
+    Invariant the structure maintains: NO lookahead is in flight (or parked
+    on disk) while ``run_maintenance`` executes. Maintenance can commit
+    several versions per sweep (compact + vacuum + expire), which could push
+    the version counter past a parked lookahead's ``snap-v`` stamp and make
+    it eligible for an ``orphan_sweep`` — so when a sweep is predicted due
+    after the next epoch, the loop simply doesn't look ahead across it and
+    eats one serial epoch instead. The prediction is conservative: a
+    mispredict (the epoch turns out skipped) costs one lost overlap, never
+    correctness.
+    """
+
+    def prep(lo: int, hi: int):
+        # Resolve the mode the consuming merge WILL resolve: a lookahead is
+        # only useful for mor epochs (cow rewrites go through scratch).
+        resolved = mode
+        if mode == "auto":
+            total_rows = sum(
+                int(c) for c in table.manifest().get("row_counts", {}).values()
+            )
+            resolved = resolve_merge_mode(total_rows, hi - lo)
+        if resolved != "mor":
+            return None
+        return prepare_mor_delta(
+            table, batch_of(lo, hi), f"{epoch_prefix}:{lo}-{hi}",
+            lsn_col=lsn_col, op_col=op_col, salt_partitions=salt_partitions,
+            lww_strategy=lww_strategy,
+            batch_rows_est=hi - lo, batch_rows_bound=hi - lo,
+        )
+
+    results: list[MergeResult] = []
+    applied_since_sweep = 0
+    cadence = maintenance.every_epochs if maintenance is not None else 0
+    with ThreadPoolExecutor(max_workers=1, thread_name_prefix="replay-lookahead") as ex:
+        fut = None
+        for i, (lo, hi) in enumerate(bounds):
+            prepared = fut.result() if fut is not None else prep(lo, hi)
+            # Lookahead for the NEXT epoch runs while THIS epoch probes and
+            # commits — unless a maintenance sweep is predicted between them.
+            sweep_due_after_this = bool(
+                cadence and applied_since_sweep + 1 >= cadence
+            )
+            fut = (
+                ex.submit(prep, *bounds[i + 1])
+                if i + 1 < len(bounds) and not sweep_due_after_this
+                else None
+            )
+            try:
+                res = apply_epoch(lo, hi, prepared=prepared)
+            except BaseException:
+                if fut is not None:  # join + clean the in-flight lookahead
+                    la = fut.result()
+                    if la is not None:
+                        la.discard(table)
+                raise
+            results.append(res)
+            if maintenance is not None and not res.skipped:
+                applied_since_sweep += 1
+                if cadence and applied_since_sweep >= cadence:
+                    assert fut is None  # structural: no lookahead across a sweep
+                    run_maintenance(
+                        table, maintenance,
+                        watermark_lsn=hi if maintenance.vacuum else None,
+                    )
+                    applied_since_sweep = 0
     if maintenance is not None and applied_since_sweep:
         run_maintenance(
             table, maintenance, watermark_lsn=hi_v + 1 if maintenance.vacuum else None
