@@ -726,6 +726,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", F.col(LSN_COL).alias("last_lsn"), "event_type", "value"
         )
 
+    def q_cdc_pipeline_state(spark, sf):
+        # pipelined replay end to end (plans/replay.py:_replay_pipelined):
+        # the events log applied as 4 mor epochs with the one-slot delta
+        # lookahead AND an in-loop MaintenancePolicy (compaction + snapshot
+        # GC mid-replay), final visible state == plain SQL LWW over the log.
+        # The overlap must be invisible to everything but the clock — same
+        # oracle as cdc_mor_state.
+        from standardized_omop_data_etl_spark.plans.maintenance import MaintenancePolicy
+        from standardized_omop_data_etl_spark.plans.replay import replay_log
+        from standardized_omop_data_etl_spark.sources.lake import LSN_COL, LakeTable
+
+        ev = _t(spark, sf, "events")
+        batch = ev.select(
+            F.col("event_id").alias("lsn"),
+            F.lit("upsert").alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        payload = batch.drop("lsn", "op").schema
+        tbl = LakeTable.create(
+            spark, "/tmp/q_cdc_pipeline_tbl", schema=payload, key_col="user_id",
+            num_buckets=8, overwrite=True,
+        )
+        replay_log(
+            tbl, batch, num_epochs=4, mode="mor", pipeline=True,
+            maintenance=MaintenancePolicy(every_epochs=2, max_files_per_bucket=2),
+        )
+        return tbl.read(
+            include_hidden=True,
+            columns=["user_id", "event_type", "value", LSN_COL],
+        ).select(
+            "user_id", F.col(LSN_COL).alias("last_lsn"), "event_type", "value"
+        )
+
     def q_cdc_change_feed(spark, sf):
         # incremental change-data-feed (plans/change_feed.py): the events log
         # applied as two MERGE epochs (odd lsns, then even); the feed between
@@ -812,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_state": q_cdc_lww_state,
         "cdc_lww_narrow": q_cdc_lww_narrow,
         "cdc_mor_state": q_cdc_mor_state,
+        "cdc_pipeline_state": q_cdc_pipeline_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_mv_refresh": q_cdc_mv_refresh,
         "priority_dedup": q_priority_dedup,
@@ -889,6 +925,13 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE rn = 1 AND event_type <> 'error'
         """,
         "cdc_mor_state": """
+            WITH w AS (
+              SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events)
+            SELECT user_id, event_id AS last_lsn, event_type, value
+            FROM w WHERE rn = 1
+        """,
+        "cdc_pipeline_state": """
             WITH w AS (
               SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
               FROM events)

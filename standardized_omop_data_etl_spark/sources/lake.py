@@ -1107,7 +1107,12 @@ class LakeTable:
         key = self.key_col
         out = conform_to_schema(df, self.schema())
         if LSN_COL not in df.columns:
-            out = out.withColumn(LSN_COL, F.lit(0).cast("long"))
+            # -1, not 0: the MERGE matrix applies an event only when its lsn
+            # is STRICTLY greater than the resident row's, and change logs
+            # may legitimately start at lsn 0 — a bootstrap stamped 0 would
+            # silently win a tie against the log's first event
+            # (found by tests/test_property.py).
+            out = out.withColumn(LSN_COL, F.lit(-1).cast("long"))
         else:
             out = out.withColumn(LSN_COL, df[LSN_COL])
         out = out.withColumn(LINEAGE_COL, F.lit(lineage))

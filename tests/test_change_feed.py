@@ -51,7 +51,9 @@ def _state(base_pdf, log_pdf, upto_lsn):
     """key -> (lsn, deleted, payload dict) after events with lsn < upto_lsn."""
     payload_cols = [c for c in log_pdf.columns if c not in ("lsn", "op")]
     st = {
-        r["doc_id"]: (0, False, {c: r.get(c) for c in payload_cols})
+        # bootstrap rows sit at lsn -1: every log event (lsn >= 0) beats them
+        # (sources/lake.py overwrite_full)
+        r["doc_id"]: (-1, False, {c: r.get(c) for c in payload_cols})
         for _, r in base_pdf.iterrows()
     }
     ev = log_pdf[log_pdf["lsn"] < upto_lsn].sort_values("lsn", kind="mergesort")
