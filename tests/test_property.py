@@ -110,6 +110,87 @@ def test_any_partition_any_order_any_mode_reaches_oracle(spark, sc):
     assert got.equals(exp), f"\ngot:\n{got}\nexpected:\n{exp}"
 
 
+WIDE_LOG_SCHEMA = T.StructType(
+    LOG_SCHEMA.fields + [T.StructField("extra", T.LongType(), True)]
+)
+
+
+@st.composite
+def evolution_scenario(draw):
+    """A log whose batches carry DIFFERENT payload schemas: some batches have
+    an added ``extra`` column, some don't (partial-payload changelog)."""
+    base_keys = draw(st.lists(st.integers(0, N_KEYS - 1), unique=True, max_size=N_KEYS))
+    base = [(k, draw(st.integers(-5, 5))) for k in sorted(base_keys)]
+    n_events = draw(st.integers(1, 12))
+    lsns = draw(st.lists(st.integers(0, 100), unique=True,
+                         min_size=n_events, max_size=n_events))
+    n_batches = draw(st.integers(1, 3))
+    wide = [draw(st.booleans()) for _ in range(n_batches)]  # batch carries `extra`?
+    events = []
+    assignment = []
+    for lsn in lsns:
+        b = draw(st.integers(0, n_batches - 1))
+        assignment.append(b)
+        events.append((
+            lsn,
+            draw(st.sampled_from(OPS)),
+            draw(st.integers(0, N_KEYS - 1)),
+            draw(st.one_of(st.none(), st.integers(-5, 5))),
+            draw(st.integers(0, 9)) if wide[b] else None,
+        ))
+    order = draw(st.permutations(range(n_batches)))
+    modes = [draw(st.sampled_from(("cow", "mor"))) for _ in range(n_batches)]
+    return base, events, assignment, wide, order, modes
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(evolution_scenario())
+def test_schema_evolution_any_order_reaches_oracle(spark, sc):
+    """ALTER-before-MERGE under arbitrary batch schemas: batches that add a
+    column evolve the table; batches that lack it (missing='null' policy)
+    pad NULL — and the final state still equals the oracle where each
+    event's `extra` is its value if its batch carried the column, else NULL,
+    regardless of the order batches arrive in."""
+    base, events, assignment, wide, order, modes = sc
+    base_pdf = pd.DataFrame(base, columns=["doc_id", "val"])
+    log_pdf = pd.DataFrame(events, columns=["lsn", "op", "doc_id", "val", "extra"])
+
+    workdir = tempfile.mkdtemp(prefix="prop_evo_")
+    try:
+        tbl = LakeTable.create(
+            spark, workdir + "/t", schema=PAYLOAD_SCHEMA, key_col="doc_id",
+            num_buckets=4, overwrite=True,
+        )
+        if len(base_pdf):
+            tbl.overwrite_full(spark.createDataFrame(base_pdf, PAYLOAD_SCHEMA))
+        for b in order:
+            rows = [e for e, a in zip(events, assignment) if a == b]
+            if wide[b]:
+                batch = spark.createDataFrame(
+                    pd.DataFrame(rows, columns=["lsn", "op", "doc_id", "val", "extra"]),
+                    WIDE_LOG_SCHEMA,
+                )
+            else:
+                batch = spark.createDataFrame(
+                    pd.DataFrame(
+                        [r[:4] for r in rows], columns=["lsn", "op", "doc_id", "val"]
+                    ),
+                    LOG_SCHEMA,
+                )
+            merge_into(tbl, batch, epoch=f"p{b}", mode=modes[b], missing="null")
+        got = canonicalize(tbl.read().toPandas())
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    exp_pdf = expected_final_state(base_pdf, log_pdf)
+    if "extra" not in got.columns:
+        # no wide batch ever applied (or none had events): table never evolved
+        exp_pdf = exp_pdf.drop(columns=["extra"])
+    exp = canonicalize(exp_pdf)
+    assert got.equals(exp), f"\ngot:\n{got}\nexpected:\n{exp}"
+
+
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(scenario(), st.data())
