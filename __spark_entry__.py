@@ -761,6 +761,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", F.col(LSN_COL).alias("last_lsn"), "event_type", "value"
         )
 
+    def q_cdc_sparse_state(spark, sf):
+        # sparse (partial-column) CDC updates end to end
+        # (plans/merge.py:densify_sparse_batch): ops derived from event_id,
+        # 'update' events carry deterministically-masked NULL columns
+        # meaning "unchanged"; two ascending sparse epochs must land on the
+        # full per-key/per-column fold of the chain (DuckDB arg_max oracle).
+        from standardized_omop_data_etl_spark.plans.replay import replay_log
+        from standardized_omop_data_etl_spark.sources.lake import (
+            DELETED_COL,
+            LSN_COL,
+            LakeTable,
+        )
+
+        ev = _t(spark, sf, "events")
+        mod = F.pmod(F.col("event_id"), F.lit(10))
+        sparse_mask = mod >= 4
+        batch = ev.select(
+            F.col("event_id").alias("lsn"),
+            F.when(mod <= 1, F.lit("insert"))
+            .when(mod == 2, F.lit("delete"))
+            .when(mod == 3, F.lit("upsert"))
+            .otherwise(F.lit("update")).alias("op"),
+            "user_id",
+            F.when(sparse_mask & (F.pmod(F.col("event_id"), F.lit(3)) == 0),
+                   F.lit(None)).otherwise(F.col("event_type")).alias("event_type"),
+            F.when(sparse_mask & (F.pmod(F.col("event_id"), F.lit(2)) == 0),
+                   F.lit(None)).otherwise(F.col("value")).alias("value"),
+        )
+        payload = batch.drop("lsn", "op").schema
+        tbl = LakeTable.create(
+            spark, "/tmp/q_cdc_sparse_tbl", schema=payload, key_col="user_id",
+            num_buckets=8, overwrite=True,
+        )
+        n = _parquet_rows(sf, "events")
+        replay_log(tbl, batch, num_epochs=2, lsn_range=(0, n - 1),
+                   mode="auto", sparse_updates=True)
+        return tbl.read(
+            include_hidden=True,
+            columns=["user_id", "event_type", "value", LSN_COL, DELETED_COL],
+        ).filter(~F.coalesce(F.col(DELETED_COL), F.lit(False))).select(
+            "user_id", F.col(LSN_COL).alias("last_lsn"), "event_type", "value"
+        )
+
     def q_cdc_change_feed(spark, sf):
         # incremental change-data-feed (plans/change_feed.py): the events log
         # applied as two MERGE epochs (odd lsns, then even); the feed between
@@ -848,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_narrow": q_cdc_lww_narrow,
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_pipeline_state": q_cdc_pipeline_state,
+        "cdc_sparse_state": q_cdc_sparse_state,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_mv_refresh": q_cdc_mv_refresh,
         "priority_dedup": q_priority_dedup,
@@ -937,6 +981,40 @@ def oracle_sql() -> dict[str, str]:
               FROM events)
             SELECT user_id, event_id AS last_lsn, event_type, value
             FROM w WHERE rn = 1
+        """,
+        "cdc_sparse_state": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CASE WHEN event_id % 10 <= 1 THEN 'insert'
+                          WHEN event_id % 10 = 2 THEN 'delete'
+                          WHEN event_id % 10 = 3 THEN 'upsert'
+                          ELSE 'update' END AS op,
+                     user_id,
+                     CASE WHEN event_id % 10 >= 4 AND event_id % 3 = 0 THEN NULL
+                          ELSE event_type END AS event_type,
+                     CASE WHEN event_id % 10 >= 4 AND event_id % 2 = 0 THEN NULL
+                          ELSE value END AS value
+              FROM events),
+            agg AS (
+              SELECT user_id,
+                     max(lsn) AS last_lsn,
+                     max(lsn) FILTER (op = 'delete') AS bd,
+                     max(lsn) FILTER (op IN ('insert','upsert')) AS bf,
+                     arg_max(struct_pack(et := event_type, v := value), lsn)
+                         FILTER (op IN ('insert','upsert')) AS img,
+                     arg_max(struct_pack(l := lsn, x := event_type), lsn)
+                         FILTER (op = 'update' AND event_type IS NOT NULL) AS uet,
+                     arg_max(struct_pack(l := lsn, x := value), lsn)
+                         FILTER (op = 'update' AND value IS NOT NULL) AS uv
+              FROM ev GROUP BY user_id),
+            b AS (
+              SELECT *, greatest(coalesce(bf, -1), coalesce(bd, -1)) AS boundary
+              FROM agg)
+            SELECT user_id, last_lsn,
+                   COALESCE(CASE WHEN uet.l > boundary THEN uet.x END, img.et) AS event_type,
+                   COALESCE(CASE WHEN uv.l > boundary THEN uv.x END, img.v) AS value
+            FROM b
+            WHERE coalesce(bf, -1) > coalesce(bd, -1)
         """,
         "cdc_change_feed": """
             WITH w1 AS (

@@ -1,2 +1,2 @@
-from .merge import MergeResult, merge_into  # noqa: F401
+from .merge import MergeResult, densify_sparse_batch, merge_into  # noqa: F401
 from .replay import replay_log, replay_files  # noqa: F401

@@ -254,6 +254,132 @@ def _sweep_stale_scratch(table: LakeTable) -> None:
             table.fs.rmtree(table.fs.join(data_root, entry))
 
 
+def densify_sparse_batch(
+    table: LakeTable,
+    batch: DataFrame,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    batch_rows_bound: int | None = None,
+) -> DataFrame:
+    """Fold a SPARSE change batch into full-image events (Debezium-style
+    partial updates: an ``update`` event's NULL payload columns mean
+    "unchanged"; ``insert``/``upsert`` stay full images whose NULLs are
+    genuine; ``delete`` deletes). The reference has no streaming analogue —
+    its per-row merge always carries whole rows (combine_subtables.py:61-124);
+    this is the CDC-native generalization.
+
+    Semantics per key, folding the batch's events in LSN order onto the
+    resident row (epoch LSN ranges ascend — the replay/vacuum contract — so
+    resident state predates every batch event):
+
+    * the newest full image or delete is the *boundary*; updates at or below
+      it are dead (an update between an image and a later delete died with
+      the delete; an update after a delete is the standard CDC
+      update-on-absent anomaly and is a no-op, NOT a resurrection);
+    * updates above the boundary apply column-wise: each column takes its
+      newest NON-NULL update value, else the boundary image's value, else —
+      when the batch holds no full image for the key — the resident row's
+      value (a batch-keyed pruned read; keys with neither an image nor a
+      resident row drop as no-ops);
+    * a key whose boundary is a delete emits one tombstone.
+
+    Output is a DENSE batch (ops ``upsert``/``delete`` only, one event per
+    key, lsn = the key's newest batch LSN) that the unchanged MERGE
+    machinery — modes, kernels, probes, feeds, MVs — applies as usual.
+
+    One exchange, aligned: the fold groups on the key after a
+    ``repartition(num_buckets, key)`` that the downstream LWW kernel's
+    exchange reuses. The resident fill reads ONLY the fill keys' rows
+    (``key_filter`` pushed below the scan and the mor resolver) when
+    ``batch_rows_bound`` proves the filter broadcastable, the usual
+    size-tiered join otherwise. Caller must hold the writer lease (resident
+    values are read at lease time; ``merge_into(sparse_updates=True)`` does).
+    """
+    key = table.key_col
+    payload = [c for c in batch.columns if c not in (key, lsn_col, op_col)]
+    dtypes = {f.name: f.dataType for f in batch.schema.fields}
+    lsn = F.col(lsn_col)
+    is_full = F.col(op_col).isin("insert", "upsert")
+    is_upd = F.col(op_col) == "update"
+    is_dele = F.col(op_col) == "delete"
+
+    aggs = [
+        F.max(lsn).alias("_last"),
+        F.max(F.when(is_dele, lsn)).alias("_bd"),
+        F.max(F.when(is_full, F.struct(
+            lsn.alias("_l"), *[F.col(c).alias(c) for c in payload]
+        ))).alias("_img"),
+    ]
+    for c in payload:
+        aggs.append(
+            F.max(F.when(is_upd & F.col(c).isNotNull(),
+                         F.struct(lsn.alias("_l"), F.col(c).alias("_v"))))
+            .alias(f"_u_{c}")
+        )
+    folded = (
+        batch.filter(
+            F.col(op_col).isin(*VALID_OPS)
+            & F.col(lsn_col).isNotNull()
+            & F.col(key).isNotNull()
+        )
+        .repartition(table.num_buckets, F.col(key))
+        .groupBy(key)
+        .agg(*aggs)
+    )
+    boundary = F.greatest(
+        F.coalesce(F.col("_img._l"), F.lit(-1)), F.coalesce(F.col("_bd"), F.lit(-1))
+    )
+    is_del_out = (
+        F.coalesce(F.col("_bd"), F.lit(-1))
+        > F.coalesce(F.col("_img._l"), F.lit(-1))
+    )
+    folded = folded.withColumn("_boundary", boundary).withColumn("_is_del", is_del_out)
+
+    def upd_val(c):
+        u = F.col(f"_u_{c}")
+        return F.when(u["_l"] > F.col("_boundary"), u["_v"])
+
+    out_cols = [key, F.col("_last").alias(lsn_col)]
+
+    tombstones = folded.filter(F.col("_is_del")).select(
+        *out_cols,
+        F.lit("delete").alias(op_col),
+        *[F.lit(None).cast(dtypes[c]).alias(c) for c in payload],
+    )
+    dense = folded.filter(~F.col("_is_del") & F.col("_img").isNotNull()).select(
+        *out_cols,
+        F.lit("upsert").alias(op_col),
+        *[F.coalesce(upd_val(c), F.col(f"_img.{c}")).alias(c) for c in payload],
+    )
+
+    fill = folded.filter(~F.col("_is_del") & F.col("_img").isNull())
+    resident_cols = [c for c in payload if c in {f.name for f in table.schema().fields}]
+    bounded = batch_rows_bound is not None and batch_rows_bound <= BROADCAST_KEYS_MAX
+    resident = table.read(
+        columns=[key] + resident_cols,
+        key_filter=fill.select(key) if bounded else None,
+    ).select(key, *[F.col(c).alias(f"_r_{c}") for c in resident_cols])
+    resident = (
+        F.broadcast(resident) if bounded
+        else _keyed_join_side(resident, BROADCAST_KEYS_MAX + 1)
+    )
+    filled = fill.join(resident, key, "inner").select(
+        *out_cols,
+        F.lit("upsert").alias(op_col),
+        *[
+            F.coalesce(
+                upd_val(c),
+                F.col(f"_r_{c}") if c in resident_cols else F.lit(None).cast(dtypes[c]),
+            ).alias(c)
+            for c in payload
+        ],
+    )
+
+    order = batch.columns
+    out = tombstones.unionByName(dense).unionByName(filled)
+    return out.select(*order)
+
+
 def merge_into(
     table: LakeTable,
     batch: DataFrame,
@@ -268,6 +394,7 @@ def merge_into(
     batch_rows_est: int | None = None,
     batch_rows_bound: int | None = None,
     prepared: PreparedDelta | None = None,
+    sparse_updates: bool = False,
 ) -> MergeResult:
     """Apply one micro-batch. Idempotent per ``epoch``; single-writer
     enforced via the table's writer lease (a concurrent merge raises
@@ -318,6 +445,12 @@ def merge_into(
     path consumes it; any other resolution (cow mode, skipped epoch, schema
     drift since the prepare) discards the files and proceeds normally, so a
     stale lookahead can never corrupt state — at worst it re-does the work.
+
+    ``sparse_updates=True`` treats ``update`` events' NULL payload columns
+    as "unchanged" (Debezium-style partial images) and folds the batch to
+    full-image events under the lease first — see ``densify_sparse_batch``.
+    A handed-in ``prepared`` delta is discarded in this mode (the lookahead
+    wrote raw-batch winners; densification needs lease-time resident state).
     """
     if mode not in ("cow", "mor", "auto"):
         raise ValueError(
@@ -355,6 +488,14 @@ def merge_into(
             if prepared is not None:
                 prepared.discard(table)
             return MergeResult(version=table.current_version(), epoch=epoch, skipped=True)
+        if sparse_updates:
+            if prepared is not None:  # lookahead folded nothing — stale by definition
+                prepared.discard(table)
+                prepared = None
+            batch = densify_sparse_batch(
+                table, batch, lsn_col=lsn_col, op_col=op_col,
+                batch_rows_bound=batch_rows_bound,
+            )
         if mode == "mor":
             return _merge_mor_locked(
                 table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,

@@ -59,8 +59,15 @@ def replay_log(
     lww_strategy: str = "auto",
     maintenance: "MaintenancePolicy | None" = None,
     pipeline: bool = False,
+    sparse_updates: bool = False,
 ) -> list[MergeResult]:
     """Apply an entire change log as ``num_epochs`` MERGE commits.
+
+    ``sparse_updates=True`` folds each epoch's Debezium-style partial
+    ``update`` images to full rows under the lease first
+    (``plans.merge.densify_sparse_batch``); it also suppresses the
+    ``pipeline`` lookahead — densification reads lease-time resident state,
+    which a pre-lease lookahead cannot have.
 
     Epochs are keyed ``{prefix}:{lo}-{hi}`` so the same log replayed with the
     same split is idempotent end-to-end, and a resumed run skips completed
@@ -123,8 +130,11 @@ def replay_log(
             batch_rows_est=hi - lo,
             batch_rows_bound=hi - lo,
             prepared=prepared,
+            sparse_updates=sparse_updates,
         )
 
+    if pipeline and sparse_updates:
+        pipeline = False  # lookahead can't densify (needs lease-time residents)
     if pipeline:
         return _replay_pipelined(
             table, bounds, batch_of, apply_epoch, lsn_col, op_col,

@@ -1,0 +1,201 @@
+"""Sparse (partial-column) update semantics — densify_sparse_batch + MERGE.
+
+Oracle: a literal per-key pandas fold of the event chain in LSN order
+(update NULL = unchanged; boundary semantics per the densify docstring),
+applied per epoch so cross-epoch resident fill is exercised exactly as the
+engine performs it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Row, functions as F, types as T
+
+from standardized_omop_data_etl_spark.plans.merge import densify_sparse_batch, merge_into
+from standardized_omop_data_etl_spark.plans.replay import replay_log
+from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType()),
+    T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    T.StructField("n_tok", T.IntegerType()),
+    T.StructField("source", T.StringType()),
+])
+
+EV_SCHEMA = T.StructType(
+    [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+    + SCHEMA.fields
+)
+
+PAYLOAD = ["tokens", "n_tok", "source"]
+
+
+def fold_oracle(base_rows: dict, events: list[dict]) -> dict:
+    """state: {doc_id: {col: val}} after folding events (lsn order) onto base."""
+    state = {k: dict(v) for k, v in base_rows.items()}
+    for e in sorted(events, key=lambda e: e["lsn"]):
+        k = e["doc_id"]
+        if e["op"] == "delete":
+            state.pop(k, None)
+        elif e["op"] in ("insert", "upsert"):
+            state[k] = {c: e.get(c) for c in PAYLOAD}
+        elif e["op"] == "update":
+            if k not in state:
+                continue  # update-on-absent: no-op
+            for c in PAYLOAD:
+                if e.get(c) is not None:
+                    state[k][c] = e[c]
+    return state
+
+
+def ev(lsn, op, doc, tokens=None, n_tok=None, source=None):
+    return dict(lsn=lsn, op=op, doc_id=doc, tokens=tokens, n_tok=n_tok, source=source)
+
+
+def make_table(spark, tmp_path, base_events):
+    tbl = LakeTable.create(spark, str(tmp_path / "tbl"), schema=SCHEMA,
+                           key_col="doc_id", num_buckets=8, overwrite=True)
+    if base_events:
+        df = spark.createDataFrame([Row(**e) for e in base_events], EV_SCHEMA)
+        merge_into(tbl, df, epoch="bootstrap")
+    return tbl
+
+
+def read_state(tbl) -> dict:
+    rows = tbl.read().collect()
+    return {
+        r["doc_id"]: {c: (list(r[c]) if c == "tokens" and r[c] is not None else r[c])
+                      for c in PAYLOAD}
+        for r in rows
+    }
+
+
+CASES = [
+    # update after image in same batch: per-column coalesce
+    [ev(10, "insert", "a", [1, 2], 2, "s1"), ev(20, "update", "a", None, 9, None)],
+    # update NULL keeps prior value; image NULL is genuine
+    [ev(10, "insert", "b", None, 5, "s1"), ev(20, "update", "b", [7], None, None)],
+    # update stacking: newest non-null per column wins
+    [ev(10, "insert", "c", [1], 1, "s1"), ev(20, "update", "c", [2], None, None),
+     ev(30, "update", "c", None, 3, None)],
+    # delete kills earlier updates; update after delete is a no-op
+    [ev(10, "insert", "d", [1], 1, "s1"), ev(20, "update", "d", [2], None, None),
+     ev(30, "delete", "d"), ev(40, "update", "d", [9], 9, "s9")],
+    # resurrect by full image after delete; later update applies to it
+    [ev(10, "insert", "e", [1], 1, "s1"), ev(20, "delete", "e"),
+     ev(30, "upsert", "e", [5], 5, "s5"), ev(40, "update", "e", None, 6, None)],
+    # update-only on absent key: no-op
+    [ev(10, "update", "zz", [1], 1, "s1")],
+    # out-of-lsn-order arrival within the batch (arrival order irrelevant)
+    [ev(30, "update", "f", None, 7, None), ev(10, "insert", "f", [3], 3, "s3"),
+     ev(20, "update", "f", [4], None, None)],
+]
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_sparse_cases_single_batch(spark, tmp_path, mode):
+    base = {"a": dict(tokens=[0], n_tok=0, source="base"),
+            "f": dict(tokens=[0], n_tok=0, source="base")}
+    base_events = [ev(0, "insert", k, **v) for k, v in base.items()]
+    tbl = make_table(spark, tmp_path, base_events)
+    events = [e for case in CASES for e in case]
+    batch = spark.createDataFrame([Row(**e) for e in events], EV_SCHEMA)
+    merge_into(tbl, batch, epoch="sparse1", mode=mode, sparse_updates=True,
+               batch_rows_bound=len(events))
+    assert read_state(tbl) == fold_oracle(base, events)
+
+
+def test_sparse_resident_fill_across_epochs(spark, tmp_path):
+    # epoch 1 inserts; epoch 2 holds ONLY partial updates — every updated
+    # column must fill from the epoch-1 resident rows, untouched columns
+    # must survive verbatim.
+    base_events = [ev(i, "insert", f"k{i}", [i, i + 1], 2, f"s{i}") for i in range(20)]
+    tbl = make_table(spark, tmp_path, [])
+    merge_into(tbl, spark.createDataFrame([Row(**e) for e in base_events], EV_SCHEMA),
+               epoch="e1", sparse_updates=True, batch_rows_bound=20)
+    upd = [ev(100 + i, "update", f"k{i}", None, 99, None) for i in range(0, 20, 2)]
+    upd.append(ev(200, "update", "ghost", None, 1, None))  # absent key: no-op
+    merge_into(tbl, spark.createDataFrame([Row(**e) for e in upd], EV_SCHEMA),
+               epoch="e2", mode="mor", sparse_updates=True, batch_rows_bound=len(upd))
+    expect = fold_oracle({}, base_events + upd)
+    assert read_state(tbl) == expect
+    assert "ghost" not in read_state(tbl)
+
+
+def test_sparse_update_on_tombstone_is_noop(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, [ev(0, "insert", "t", [1], 1, "s")])
+    merge_into(tbl, spark.createDataFrame([Row(**ev(10, "delete", "t"))], EV_SCHEMA),
+               epoch="del", sparse_updates=True, batch_rows_bound=1)
+    merge_into(tbl, spark.createDataFrame([Row(**ev(20, "update", "t", None, 9, None))],
+                                          EV_SCHEMA),
+               epoch="upd", sparse_updates=True, batch_rows_bound=1)
+    assert read_state(tbl) == {}
+
+
+def test_sparse_replay_matches_dense_oracle(spark, tmp_path):
+    """Random-ish deterministic log, sparsified: replay_log(sparse_updates=True)
+    over 4 epochs == pandas fold oracle."""
+    import random
+
+    rnd = random.Random(7)
+    docs = [f"d{i}" for i in range(60)]
+    events = []
+    for lsn in range(400):
+        doc = rnd.choice(docs)
+        roll = rnd.random()
+        if roll < 0.15:
+            events.append(ev(lsn, "delete", doc))
+        elif roll < 0.35:
+            events.append(ev(lsn, "insert", doc, [lsn], 1, f"s{lsn}"))
+        elif roll < 0.5:
+            events.append(ev(lsn, "upsert", doc, [lsn, lsn], 2, f"s{lsn}"))
+        else:
+            # sparse update: each column independently present
+            events.append(ev(
+                lsn, "update", doc,
+                [lsn] if rnd.random() < 0.5 else None,
+                lsn if rnd.random() < 0.5 else None,
+                f"u{lsn}" if rnd.random() < 0.5 else None,
+            ))
+    base = {d: dict(tokens=[0], n_tok=0, source="base") for d in docs[:30]}
+    tbl = make_table(spark, tmp_path, [ev(-1 - i, "insert", d, **v)
+                                       for i, (d, v) in enumerate(base.items())])
+    log = spark.createDataFrame([Row(**e) for e in events], EV_SCHEMA)
+    results = replay_log(tbl, log, num_epochs=4, lsn_range=(0, 399),
+                         mode="auto", sparse_updates=True)
+    assert len(results) == 4 and not any(r.skipped for r in results)
+    assert read_state(tbl) == fold_oracle(base, events)
+    # idempotence: re-applying the sparse replay skips every epoch
+    v = tbl.current_version()
+    again = replay_log(tbl, log, num_epochs=4, lsn_range=(0, 399),
+                       mode="auto", sparse_updates=True)
+    assert all(r.skipped for r in again) and tbl.current_version() == v
+
+
+def test_sparse_pipeline_flag_degrades_serial(spark, tmp_path):
+    # pipeline=True with sparse_updates must be correct (lookahead suppressed)
+    base_events = [ev(i, "insert", f"p{i}", [i], 1, "s") for i in range(10)]
+    tbl = make_table(spark, tmp_path, [])
+    merge_into(tbl, spark.createDataFrame([Row(**e) for e in base_events], EV_SCHEMA),
+               epoch="e1", sparse_updates=True, batch_rows_bound=10)
+    upd = [ev(100 + i, "update", f"p{i}", None, 42, None) for i in range(10)]
+    log = spark.createDataFrame([Row(**e) for e in upd], EV_SCHEMA)
+    replay_log(tbl, log, num_epochs=2, lsn_range=(100, 109), mode="mor",
+               sparse_updates=True, pipeline=True)
+    assert read_state(tbl) == fold_oracle({}, base_events + upd)
+
+
+def test_densify_output_shape(spark, tmp_path):
+    tbl = make_table(spark, tmp_path, [ev(0, "insert", "x", [1], 1, "s")])
+    batch = spark.createDataFrame(
+        [Row(**ev(10, "update", "x", None, 5, None)),
+         Row(**ev(11, "delete", "y")),
+         Row(**ev(12, "insert", "z", [9], 1, "s9"))], EV_SCHEMA)
+    out = densify_sparse_batch(tbl, batch, batch_rows_bound=3)
+    rows = {r["doc_id"]: r.asDict() for r in out.collect()}
+    assert out.columns == batch.columns
+    assert rows["x"]["op"] == "upsert" and rows["x"]["n_tok"] == 5 \
+        and list(rows["x"]["tokens"]) == [1] and rows["x"]["source"] == "s"
+    assert rows["y"]["op"] == "delete" and rows["y"]["tokens"] is None
+    assert rows["z"]["op"] == "upsert" and rows["z"]["n_tok"] == 1
