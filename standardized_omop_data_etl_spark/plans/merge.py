@@ -325,6 +325,11 @@ def densify_sparse_batch(
         .repartition(table.num_buckets, F.col(key))
         .groupBy(key)
         .agg(*aggs)
+        # three output branches + the fill read's key filter consume the
+        # fold; pin it (O(batch keys) rows) so each reads the cached
+        # aggregate instead of re-running it. Released by merge_into via
+        # unpersist_pinned after the epoch consumes the batch.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     boundary = F.greatest(
         F.coalesce(F.col("_img._l"), F.lit(-1)), F.coalesce(F.col("_bd"), F.lit(-1))
@@ -376,8 +381,9 @@ def densify_sparse_batch(
     )
 
     order = batch.columns
-    out = tombstones.unionByName(dense).unionByName(filled)
-    return out.select(*order)
+    out = tombstones.unionByName(dense).unionByName(filled).select(*order)
+    out._sodes_pinned = folded  # released via unpersist_pinned (lww.py contract)
+    return out
 
 
 def merge_into(
@@ -496,15 +502,20 @@ def merge_into(
                 table, batch, lsn_col=lsn_col, op_col=op_col,
                 batch_rows_bound=batch_rows_bound,
             )
-        if mode == "mor":
-            return _merge_mor_locked(
+        try:
+            if mode == "mor":
+                return _merge_mor_locked(
+                    table, batch, epoch, lsn_col, op_col, salt_partitions,
+                    source_name, lease_owner, missing, lww_strategy,
+                    batch_rows_bound, prepared,
+                )
+            return _merge_into_locked(
                 table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
-                lease_owner, missing, lww_strategy, batch_rows_bound, prepared,
+                lease_owner, missing, lww_strategy, batch_rows_bound,
             )
-        return _merge_into_locked(
-            table, batch, epoch, lsn_col, op_col, salt_partitions, source_name,
-            lease_owner, missing, lww_strategy, batch_rows_bound,
-        )
+        finally:
+            if sparse_updates:
+                unpersist_pinned(batch)
     finally:
         table.release_writer_lease(lease_owner)
 
