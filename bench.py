@@ -136,6 +136,43 @@ def main() -> None:
         feed_sec = dt if feed_sec is None else min(feed_sec, dt)
         samples.setdefault("cdc_change_feed", []).append(round(dt, 3))
     timings["cdc_change_feed"] = round(feed_sec, 3)
+
+    # sparse (partial-column) replay: same log with update payloads
+    # deterministically masked (tokens NULL on even lsns, source on lsn%3=0
+    # — NULL = "unchanged"), applied through densify_sparse_batch. The delta
+    # vs cdc_replay is the fold + resident-fill cost on an identical event
+    # volume.
+    import pyspark.sql.functions as F
+
+    sparse_log = (
+        log.withColumn(
+            "tokens",
+            F.when((F.col("op") == "update") & (F.pmod("lsn", F.lit(2)) == 0),
+                   F.lit(None)).otherwise(F.col("tokens")),
+        )
+        .withColumn(
+            "source",
+            F.when((F.col("op") == "update") & (F.pmod("lsn", F.lit(3)) == 0),
+                   F.lit(None)).otherwise(F.col("source")),
+        )
+        .persist()
+    )
+    sparse_log.count()
+    sparse_sec = None
+    for _rep in range(2):
+        shutil.rmtree(workdir, ignore_errors=True)
+        tbl = LakeTable.create(
+            spark, workdir, schema=base.schema, key_col="doc_id", num_buckets=32,
+            overwrite=True,
+        )
+        tbl.overwrite_full(base)
+        t0 = time.time()
+        replay_log(tbl, sparse_log, num_epochs=2, sparse_updates=True)
+        dt = time.time() - t0
+        sparse_sec = dt if sparse_sec is None else min(sparse_sec, dt)
+        samples.setdefault("cdc_replay_sparse", []).append(round(dt, 3))
+    timings["cdc_replay_sparse"] = round(sparse_sec, 3)
+    sparse_log.unpersist()
     log.unpersist()
     shutil.rmtree(workdir, ignore_errors=True)
 
