@@ -284,8 +284,11 @@ def densify_sparse_batch(
     * a key whose boundary is a delete emits one tombstone.
 
     Output is a DENSE batch (ops ``upsert``/``delete`` only, one event per
-    key, lsn = the key's newest batch LSN) that the unchanged MERGE
-    machinery — modes, kernels, probes, feeds, MVs — applies as usual.
+    key, lsn = the key's newest batch LSN, the collapsed-event count
+    appended as ``_n_events``) that the unchanged MERGE machinery — modes,
+    probes, feeds, MVs — applies as usual; ``merge_into`` feeds it to the
+    ``prereduced`` kernel, which skips the second LWW pass entirely (the
+    fold IS the reduction).
 
     One exchange, aligned: the fold groups on the key after a
     ``repartition(num_buckets, key)`` that the downstream LWW kernel's
@@ -305,6 +308,7 @@ def densify_sparse_batch(
 
     aggs = [
         F.max(lsn).alias("_last"),
+        F.count(F.lit(1)).alias("_n_events"),  # collapsed-event count, for metrics
         F.max(F.when(is_dele, lsn)).alias("_bd"),
         F.max(F.when(is_full, F.struct(
             lsn.alias("_l"), *[F.col(c).alias(c) for c in payload]
@@ -344,7 +348,7 @@ def densify_sparse_batch(
         u = F.col(f"_u_{c}")
         return F.when(u["_l"] > F.col("_boundary"), u["_v"])
 
-    out_cols = [key, F.col("_last").alias(lsn_col)]
+    out_cols = [key, F.col("_last").alias(lsn_col), F.col("_n_events")]
 
     tombstones = folded.filter(F.col("_is_del")).select(
         *out_cols,
@@ -380,7 +384,7 @@ def densify_sparse_batch(
         ],
     )
 
-    order = batch.columns
+    order = batch.columns + ["_n_events"]
     out = tombstones.unionByName(dense).unionByName(filled).select(*order)
     out._sodes_pinned = folded  # released via unpersist_pinned (lww.py contract)
     return out
@@ -502,6 +506,11 @@ def merge_into(
                 table, batch, lsn_col=lsn_col, op_col=op_col,
                 batch_rows_bound=batch_rows_bound,
             )
+            # the fold already left exactly one event per key with the
+            # collapsed count in _n_events; a second LWW pass would re-sort
+            # the payload for nothing — the kernel degenerates to the
+            # bucket-pinned exchange alone.
+            lww_strategy = "prereduced"
         try:
             if mode == "mor":
                 return _merge_mor_locked(
@@ -545,7 +554,18 @@ def _lww_winners(
     broadcast, a candidate join would shuffle every payload anyway, so the
     window path's single exchange is the strictly cheaper shape; a key-heavy
     epoch, e.g. an initial load, must never broadcast millions of winner
-    rows). ``unpersist_pinned`` remains a no-op-compatible release hook."""
+    rows). ``unpersist_pinned`` remains a no-op-compatible release hook.
+
+    ``strategy='prereduced'`` is for batches the caller GUARANTEES hold at
+    most one event per key (``densify_sparse_batch`` output): LWW over them
+    is identity, so the kernel reduces to the bucket-pinned exchange alone —
+    no sort, no aggregate, no probe. The fold's collapsed-event count rides
+    in as ``_n_events`` (defaulted to 1 if absent) so metrics stay honest."""
+    if strategy == "prereduced":
+        src = batch
+        if "_n_events" not in src.columns:
+            src = src.withColumn("_n_events", F.lit(1).cast("long"))
+        return src.repartition(num_buckets, F.col(key))
     if strategy == "narrow":
         return lww_latest_narrow(
             batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets,
@@ -679,7 +699,7 @@ def prepare_mor_delta(
     if table.is_epoch_applied(epoch):
         return None
     payload_schema = T.StructType(
-        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col)]
+        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col, "_n_events")]
     )
     evolved, changes = diff_schema(table.schema(), payload_schema, missing=missing)
     if changes:
@@ -789,7 +809,7 @@ def _merge_into_locked(
 
     # ---- 1. ALTER-before-MERGE: schema-registry diff on the payload schema.
     payload_schema = T.StructType(
-        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col)]
+        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col, "_n_events")]
     )
     evolved, changes = diff_schema(table.schema(), payload_schema, missing=missing)
     if changes:
@@ -1099,7 +1119,7 @@ def _merge_mor_locked(
 
     # ---- 1. ALTER-before-MERGE (identical to the cow path).
     payload_schema = T.StructType(
-        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col)]
+        [f for f in batch.schema.fields if f.name not in (lsn_col, op_col, "_n_events")]
     )
     evolved, changes = diff_schema(table.schema(), payload_schema, missing=missing)
     if changes:

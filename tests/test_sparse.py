@@ -194,7 +194,8 @@ def test_densify_output_shape(spark, tmp_path):
          Row(**ev(12, "insert", "z", [9], 1, "s9"))], EV_SCHEMA)
     out = densify_sparse_batch(tbl, batch, batch_rows_bound=3)
     rows = {r["doc_id"]: r.asDict() for r in out.collect()}
-    assert out.columns == batch.columns
+    assert out.columns == batch.columns + ["_n_events"]
+    assert all(r["_n_events"] == 1 for r in rows.values())
     assert rows["x"]["op"] == "upsert" and rows["x"]["n_tok"] == 5 \
         and list(rows["x"]["tokens"]) == [1] and rows["x"]["source"] == "s"
     assert rows["y"]["op"] == "delete" and rows["y"]["tokens"] is None
