@@ -46,6 +46,7 @@ def stream_changelog_from(
     maintenance: "MaintenancePolicy | None" = None,
     views: list | None = None,
     max_batch_rows: int | None = None,
+    sparse_updates: bool = False,
 ) -> StreamingQuery:
     """MERGE-sink for ANY streaming DataFrame of changelog events
     ``(lsn, op, <payload>)`` — the source-agnostic seam. A Kafka topic plugs
@@ -94,6 +95,9 @@ def stream_changelog_from(
             # metrics-probe pruning. Leave None when the source can't bound
             # a trigger — merge falls back to its probe-based guards.
             batch_rows_bound=max_batch_rows,
+            # Debezium-style partial images (update NULL = unchanged) fold
+            # to full rows under the lease — plans.merge.densify_sparse_batch
+            sparse_updates=sparse_updates,
         )
         for view, consumer, group_cols, sum_cols in views or []:
             refresh_view(view, consumer, group_cols, sum_cols)

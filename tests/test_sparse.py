@@ -200,3 +200,54 @@ def test_densify_output_shape(spark, tmp_path):
         and list(rows["x"]["tokens"]) == [1] and rows["x"]["source"] == "s"
     assert rows["y"]["op"] == "delete" and rows["y"]["tokens"] is None
     assert rows["z"]["op"] == "upsert" and rows["z"]["n_tok"] == 1
+
+
+@pytest.mark.timeout(300)
+def test_sparse_streaming_tail(spark, tmp_path):
+    """stream_changelog_from(sparse_updates=True): a file-tailed sparse
+    changelog lands on the same pandas fold oracle as the batch path."""
+    from pyspark.sql import functions as F
+
+    from standardized_omop_data_etl_spark.streaming.changelog import (
+        CHANGELOG_SCHEMA,
+        stream_changelog_from,
+    )
+
+    base_events = [ev(i, "insert", f"s{i % 40}", [i], 1, f"src{i}") for i in range(40)]
+    upd = []
+    for j in range(120):
+        lsn = 100 + j
+        doc = f"s{j % 40}"
+        if j % 11 == 0:
+            upd.append(ev(lsn, "delete", doc))
+        elif j % 7 == 0:
+            upd.append(ev(lsn, "upsert", doc, [lsn], 1, f"src{lsn}"))
+        else:
+            upd.append(ev(lsn, "update", doc,
+                          [lsn] if j % 2 else None,
+                          lsn if j % 3 else None,
+                          f"u{lsn}" if j % 5 else None))
+
+    tbl = make_table(spark, tmp_path, [])
+    merge_into(tbl, spark.createDataFrame([Row(**e) for e in base_events], EV_SCHEMA),
+               epoch="boot", sparse_updates=True, batch_rows_bound=40)
+
+    log_dir = str(tmp_path / "binlog")
+    import os as _os
+    _os.makedirs(log_dir)
+    updf = spark.createDataFrame([Row(**e) for e in upd], EV_SCHEMA)
+    for i, (lo, hi) in enumerate([(100, 160), (160, 220)]):
+        updf.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi)).coalesce(1).write.parquet(
+            f"{log_dir}/seg{i}.parquet"
+        )
+
+    stream = spark.readStream.schema(EV_SCHEMA).option("maxFilesPerTrigger", 1).parquet(
+        log_dir + "/*"
+    )
+    q = stream_changelog_from(
+        stream, tbl, str(tmp_path / "ckpt"), trigger_once=True,
+        sparse_updates=True, max_batch_rows=len(upd),
+    )
+    q.awaitTermination(240)
+
+    assert read_state(tbl) == fold_oracle({}, base_events + upd)
