@@ -251,3 +251,32 @@ def test_sparse_streaming_tail(spark, tmp_path):
     q.awaitTermination(240)
 
     assert read_state(tbl) == fold_oracle({}, base_events + upd)
+
+
+def test_sparse_with_schema_evolution_added_column(spark, tmp_path):
+    """A sparse epoch whose events carry a NEW column: ALTER-before-MERGE
+    adds it; fill-needing keys take the update's value for the new column
+    (or NULL — no resident value can exist for a just-added column)."""
+    base_events = [ev(i, "insert", f"n{i}", [i], 1, "s") for i in range(6)]
+    tbl = make_table(spark, tmp_path, [])
+    merge_into(tbl, spark.createDataFrame([Row(**e) for e in base_events], EV_SCHEMA),
+               epoch="e1", sparse_updates=True, batch_rows_bound=6)
+
+    ev2_schema = T.StructType(EV_SCHEMA.fields + [T.StructField("lang", T.StringType())])
+    upd = [
+        dict(ev(100, "update", "n0", None, 7, None), lang="en"),
+        dict(ev(101, "update", "n1", None, None, None), lang=None),  # all-unchanged
+        dict(ev(102, "insert", "n9", [9], 1, "s9"), lang="de"),
+    ]
+    merge_into(tbl, spark.createDataFrame([Row(**e) for e in upd], ev2_schema),
+               epoch="e2", sparse_updates=True, batch_rows_bound=3)
+
+    rows = {r["doc_id"]: r.asDict() for r in tbl.read().collect()}
+    assert set(rows) == {f"n{i}" for i in range(6)} | {"n9"}
+    assert rows["n0"]["n_tok"] == 7 and rows["n0"]["lang"] == "en" \
+        and list(rows["n0"]["tokens"]) == [0] and rows["n0"]["source"] == "s"
+    # all-unchanged update: row survives verbatim, new column NULL
+    assert rows["n1"]["n_tok"] == 1 and rows["n1"]["lang"] is None
+    assert rows["n9"]["lang"] == "de"
+    # untouched keys: padded NULL for the added column
+    assert rows["n3"]["lang"] is None and rows["n3"]["n_tok"] == 1
