@@ -290,6 +290,13 @@ def densify_sparse_batch(
     ``prereduced`` kernel, which skips the second LWW pass entirely (the
     fold IS the reduction).
 
+    Caveat, by design: columns fold INDEPENDENTLY. Correlated columns
+    (e.g. the fixtures' ``n_tok == size(tokens)`` invariant) keep their
+    correlation only if the producer always updates them together in one
+    event — a partial image touching ``tokens`` but not ``n_tok`` composes
+    the new array with the old count, exactly as Debezium partial images
+    would at any consumer.
+
     One exchange, aligned: the fold groups on the key after a
     ``repartition(num_buckets, key)`` that the downstream LWW kernel's
     exchange reuses. The resident fill reads ONLY the fill keys' rows
