@@ -804,6 +804,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "user_id", F.col(LSN_COL).alias("last_lsn"), "event_type", "value"
         )
 
+    def q_cdc_sparse_stats(spark, sf):
+        # the densify fold's no-silent-drops companion
+        # (plans/merge.py:densify_sparse_stats): epoch-1 sparse events build
+        # the resident state, then epoch 2's batch is classified —
+        # tombstone/dense-image/fill keys, and fill keys without a resident
+        # row (update-on-absent no-ops, the fold's only silent drop).
+        from standardized_omop_data_etl_spark.plans.merge import (
+            densify_sparse_stats,
+            merge_into,
+        )
+        from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+        ev = _t(spark, sf, "events")
+        mod = F.pmod(F.col("event_id"), F.lit(10))
+        sparse_mask = mod >= 4
+        batch = ev.select(
+            F.col("event_id").alias("lsn"),
+            F.when(mod <= 1, F.lit("insert"))
+            .when(mod == 2, F.lit("delete"))
+            .when(mod == 3, F.lit("upsert"))
+            .otherwise(F.lit("update")).alias("op"),
+            "user_id",
+            F.when(sparse_mask & (F.pmod(F.col("event_id"), F.lit(3)) == 0),
+                   F.lit(None)).otherwise(F.col("event_type")).alias("event_type"),
+            F.when(sparse_mask & (F.pmod(F.col("event_id"), F.lit(2)) == 0),
+                   F.lit(None)).otherwise(F.col("value")).alias("value"),
+        )
+        n = _parquet_rows(sf, "events")
+        half = n // 2
+        payload = batch.drop("lsn", "op").schema
+        tbl = LakeTable.create(
+            spark, "/tmp/q_cdc_sparse_stats_tbl", schema=payload, key_col="user_id",
+            num_buckets=8, overwrite=True,
+        )
+        merge_into(tbl, batch.filter(F.col("lsn") < half), epoch="e1",
+                   sparse_updates=True, batch_rows_bound=half)
+        # epoch 2 is a THIN slice (~4 events/key) so all six classes are
+        # populated — a wide slice gives every key a full image and the
+        # fill/dropped columns degenerate to zero.
+        hi = half + max(n // 16, 1)
+        return densify_sparse_stats(
+            tbl,
+            batch.filter((F.col("lsn") >= half) & (F.col("lsn") < hi)),
+            batch_rows_bound=hi - half,
+        )
+
     def q_cdc_change_feed(spark, sf):
         # incremental change-data-feed (plans/change_feed.py): the events log
         # applied as two MERGE epochs (odd lsns, then even); the feed between
@@ -892,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_mor_state": q_cdc_mor_state,
         "cdc_pipeline_state": q_cdc_pipeline_state,
         "cdc_sparse_state": q_cdc_sparse_state,
+        "cdc_sparse_stats": q_cdc_sparse_stats,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_mv_refresh": q_cdc_mv_refresh,
         "priority_dedup": q_priority_dedup,
@@ -1015,6 +1062,40 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(CASE WHEN uv.l > boundary THEN uv.x END, img.v) AS value
             FROM b
             WHERE coalesce(bf, -1) > coalesce(bd, -1)
+        """,
+        "cdc_sparse_stats": """
+            WITH ev AS (
+              SELECT event_id AS lsn,
+                     CASE WHEN event_id % 10 <= 1 THEN 'insert'
+                          WHEN event_id % 10 = 2 THEN 'delete'
+                          WHEN event_id % 10 = 3 THEN 'upsert'
+                          ELSE 'update' END AS op,
+                     user_id
+              FROM events),
+            half AS (SELECT CAST(count(*) / 2 AS BIGINT) AS h,
+                            CAST(count(*) / 2 + greatest(count(*) / 16, 1) AS BIGINT) AS hi
+                     FROM events),
+            r AS (
+              SELECT user_id FROM ev, half WHERE lsn < h GROUP BY user_id
+              HAVING coalesce(max(lsn) FILTER (op IN ('insert','upsert')), -1)
+                   > coalesce(max(lsn) FILTER (op = 'delete'), -1)),
+            k AS (
+              SELECT user_id,
+                     coalesce(max(lsn) FILTER (op IN ('insert','upsert')), -1) AS bf,
+                     coalesce(max(lsn) FILTER (op = 'delete'), -1) AS bd
+              FROM ev, half WHERE lsn >= h AND lsn < hi GROUP BY user_id),
+            c AS (
+              SELECT user_id, bd > bf AS is_del,
+                     bf = -1 AND bd = -1 AS needs_fill,
+                     user_id IN (SELECT user_id FROM r) AS resident
+              FROM k)
+            SELECT CAST(count(*) AS BIGINT) AS keys_total,
+                   CAST(sum(CASE WHEN is_del THEN 1 ELSE 0 END) AS BIGINT) AS tombstones,
+                   CAST(sum(CASE WHEN NOT is_del AND NOT needs_fill THEN 1 ELSE 0 END) AS BIGINT) AS dense_images,
+                   CAST(sum(CASE WHEN needs_fill THEN 1 ELSE 0 END) AS BIGINT) AS fill_keys,
+                   CAST(sum(CASE WHEN needs_fill AND resident THEN 1 ELSE 0 END) AS BIGINT) AS fill_matched,
+                   CAST(sum(CASE WHEN needs_fill AND NOT resident THEN 1 ELSE 0 END) AS BIGINT) AS fill_dropped
+            FROM c
         """,
         "cdc_change_feed": """
             WITH w1 AS (

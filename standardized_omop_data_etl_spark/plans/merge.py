@@ -397,6 +397,69 @@ def densify_sparse_batch(
     return out
 
 
+def densify_sparse_stats(
+    table: LakeTable,
+    batch: DataFrame,
+    lsn_col: str = "lsn",
+    op_col: str = "op",
+    batch_rows_bound: int | None = None,
+) -> DataFrame:
+    """Observability companion to ``densify_sparse_batch`` (the engine's
+    no-silent-drops convention — same pattern as ``minhash_lsh_with_stats``
+    / ``jaccard_df_cutoff_stats``): one row classifying every key the fold
+    will emit OR drop. ``fill_dropped`` counts update-on-absent keys — the
+    fold's only silent no-op, and in a healthy pipeline it should be ~0
+    (a persistent non-zero value usually means the consumer missed a
+    snapshot/bootstrap and is applying partial images to rows it never
+    loaded). Cheap by construction: the skeleton fold aggregates only
+    (key, lsn, op) — no payload structs — and the resident probe is the
+    same batch-keyed pruned read the fill itself uses.
+
+    Columns: ``keys_total, tombstones, dense_images, fill_keys,
+    fill_matched, fill_dropped``.
+    """
+    key = table.key_col
+    lsn = F.col(lsn_col)
+    skel = (
+        batch.filter(
+            F.col(op_col).isin(*VALID_OPS)
+            & F.col(lsn_col).isNotNull()
+            & F.col(key).isNotNull()
+        )
+        .groupBy(key)
+        .agg(
+            F.max(F.when(F.col(op_col).isin("insert", "upsert"), lsn)).alias("_bf"),
+            F.max(F.when(F.col(op_col) == "delete", lsn)).alias("_bd"),
+        )
+        .withColumn(
+            "_is_del",
+            F.coalesce(F.col("_bd"), F.lit(-1)) > F.coalesce(F.col("_bf"), F.lit(-1)),
+        )
+        .withColumn("_needs_fill", ~F.col("_is_del") & F.col("_bf").isNull())
+    )
+    fill_keys = skel.filter(F.col("_needs_fill")).select(key)
+    bounded = batch_rows_bound is not None and batch_rows_bound <= BROADCAST_KEYS_MAX
+    resident = table.read(
+        columns=[key], key_filter=fill_keys if bounded else None
+    ).select(key)
+    resident = (
+        F.broadcast(resident) if bounded
+        else _keyed_join_side(resident, BROADCAST_KEYS_MAX + 1)
+    )
+    matched = fill_keys.join(resident, key, "left_semi")
+    return (
+        skel.agg(
+            F.count(F.lit(1)).alias("keys_total"),
+            F.sum(F.col("_is_del").cast("long")).alias("tombstones"),
+            F.sum((~F.col("_is_del") & F.col("_bf").isNotNull()).cast("long"))
+            .alias("dense_images"),
+            F.sum(F.col("_needs_fill").cast("long")).alias("fill_keys"),
+        )
+        .crossJoin(matched.agg(F.count(F.lit(1)).alias("fill_matched")))
+        .withColumn("fill_dropped", F.col("fill_keys") - F.col("fill_matched"))
+    )
+
+
 def merge_into(
     table: LakeTable,
     batch: DataFrame,

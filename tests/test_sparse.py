@@ -280,3 +280,24 @@ def test_sparse_with_schema_evolution_added_column(spark, tmp_path):
     assert rows["n9"]["lang"] == "de"
     # untouched keys: padded NULL for the added column
     assert rows["n3"]["lang"] is None and rows["n3"]["n_tok"] == 1
+
+
+def test_densify_sparse_stats(spark, tmp_path):
+    from standardized_omop_data_etl_spark.plans.merge import densify_sparse_stats
+
+    tbl = make_table(spark, tmp_path, [ev(0, "insert", "r1", [1], 1, "s"),
+                                       ev(1, "insert", "r2", [2], 1, "s")])
+    batch = spark.createDataFrame([
+        Row(**ev(10, "update", "r1", None, 5, None)),   # fill, matched
+        Row(**ev(11, "update", "ghost", None, 5, None)),  # fill, dropped
+        Row(**ev(12, "delete", "r2")),                   # tombstone
+        Row(**ev(13, "insert", "r3", [3], 1, "s")),      # dense image
+        Row(**ev(14, "update", "r3", None, 9, None)),    # same key as image
+    ], EV_SCHEMA)
+    stats = densify_sparse_stats(tbl, batch, batch_rows_bound=5).collect()[0]
+    assert stats["keys_total"] == 4
+    assert stats["tombstones"] == 1
+    assert stats["dense_images"] == 1
+    assert stats["fill_keys"] == 2
+    assert stats["fill_matched"] == 1
+    assert stats["fill_dropped"] == 1
