@@ -128,6 +128,7 @@ def stream_changelog_kafka(
     mode: str = "cow",
     maintenance: "MaintenancePolicy | None" = None,
     source_format: str = "kafka",
+    sparse_updates: bool = False,
     **source_options: str,
 ) -> StreamingQuery:
     """Tail a Kafka topic of Debezium-ish JSON envelopes and MERGE each
@@ -168,6 +169,7 @@ def stream_changelog_kafka(
         epoch_prefix=f"{source_format}:{topic}" if topic else source_format,
         mode=mode, maintenance=maintenance,
         max_batch_rows=_trigger_row_bound(source_format, source_options),
+        sparse_updates=sparse_updates,
     )
 
 
