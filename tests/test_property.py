@@ -228,3 +228,101 @@ def test_reapply_any_prefix_is_noop(spark, sc, data):
         assert canonicalize(tbl.read().toPandas()).equals(before)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
+
+
+SPARSE_PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("v1", T.LongType(), True),
+    T.StructField("v2", T.LongType(), True),
+])
+SPARSE_LOG_SCHEMA = T.StructType([
+    T.StructField("lsn", T.LongType(), False),
+    T.StructField("op", T.StringType(), False),
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("v1", T.LongType(), True),
+    T.StructField("v2", T.LongType(), True),
+])
+
+
+def _sparse_fold_oracle(base, events):
+    """Pure-python per-column fold (update None = unchanged; insert/upsert
+    full images; updates on absent/deleted keys are no-ops)."""
+    state = {k: {"v1": v1, "v2": v2} for k, v1, v2 in base}
+    for lsn, op, k, v1, v2 in sorted(events):
+        if op == "delete":
+            state.pop(k, None)
+        elif op in ("insert", "upsert"):
+            state[k] = {"v1": v1, "v2": v2}
+        elif op == "update" and k in state:
+            if v1 is not None:
+                state[k]["v1"] = v1
+            if v2 is not None:
+                state[k]["v2"] = v2
+    return canonicalize(pd.DataFrame(
+        [(k, v["v1"], v["v2"]) for k, v in state.items()],
+        columns=["doc_id", "v1", "v2"],
+    ))
+
+
+@st.composite
+def sparse_scenario(draw):
+    """Base table + sparse log + a partition into CONTIGUOUS ascending
+    epochs (the sparse contract: resident fill reads lease-time state, so
+    epochs must ascend — arbitrary epoch order is out of the mode's spec)."""
+    base_keys = draw(st.lists(st.integers(0, N_KEYS - 1), unique=True, max_size=N_KEYS))
+    base = [(k, draw(st.integers(-5, 5)), draw(st.integers(-5, 5)))
+            for k in sorted(base_keys)]
+    n_events = draw(st.integers(1, 14))
+    lsns = sorted(draw(st.lists(st.integers(0, 200), unique=True,
+                                min_size=n_events, max_size=n_events)))
+    events = []
+    for lsn in lsns:
+        op = draw(st.sampled_from(OPS))
+        if op == "delete":
+            v1 = v2 = None
+        elif op == "update":  # sparse: None = unchanged, per column
+            v1 = draw(st.one_of(st.none(), st.integers(-5, 5)))
+            v2 = draw(st.one_of(st.none(), st.integers(-5, 5)))
+        else:  # full image; None here is a GENUINE null
+            v1 = draw(st.one_of(st.none(), st.integers(-5, 5)))
+            v2 = draw(st.one_of(st.none(), st.integers(-5, 5)))
+        events.append((lsn, op, draw(st.integers(0, N_KEYS - 1)), v1, v2))
+    n_epochs = draw(st.integers(1, 4))
+    cuts = sorted(draw(st.lists(st.integers(0, n_events), min_size=n_epochs - 1,
+                                max_size=n_epochs - 1)))
+    bounds = list(zip([0] + cuts, cuts + [n_events]))
+    modes = [draw(st.sampled_from(("cow", "mor", "auto"))) for _ in bounds]
+    return base, events, bounds, modes
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(sparse_scenario())
+def test_sparse_fold_reaches_oracle(spark, sc):
+    """Sparse (partial-column) updates: any contiguous ascending epoching
+    with any per-epoch mode folds to the pure-python per-column oracle —
+    including empty epochs, genuine-null images vs unchanged-null updates,
+    and cross-epoch resident fill."""
+    base, events, bounds, modes = sc
+    base_pdf = pd.DataFrame(base, columns=["doc_id", "v1", "v2"])
+    workdir = tempfile.mkdtemp(prefix="prop_sparse_")
+    try:
+        tbl = LakeTable.create(
+            spark, workdir + "/t", schema=SPARSE_PAYLOAD_SCHEMA, key_col="doc_id",
+            num_buckets=4, overwrite=True,
+        )
+        if len(base_pdf):
+            tbl.overwrite_full(spark.createDataFrame(base_pdf, SPARSE_PAYLOAD_SCHEMA))
+        for i, ((lo, hi), mode) in enumerate(zip(bounds, modes)):
+            rows = events[lo:hi]
+            batch = spark.createDataFrame(
+                pd.DataFrame(rows, columns=["lsn", "op", "doc_id", "v1", "v2"]),
+                SPARSE_LOG_SCHEMA,
+            )
+            merge_into(tbl, batch, epoch=f"sp{i}", mode=mode, sparse_updates=True,
+                       batch_rows_bound=max(hi - lo, 1))
+        got = canonicalize(tbl.read().toPandas())
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    exp = _sparse_fold_oracle(base, events)
+    assert got.equals(exp), f"\ngot:\n{got}\nexpected:\n{exp}"
