@@ -301,3 +301,44 @@ def test_densify_sparse_stats(spark, tmp_path):
     assert stats["fill_keys"] == 2
     assert stats["fill_matched"] == 1
     assert stats["fill_dropped"] == 1
+
+
+def test_sparse_crash_before_commit_then_resume(spark, tmp_path):
+    """Crash a sparse mor epoch at the manifest-pointer flip (injected fs
+    fault), then resume with a healthy fs: the epoch re-applies cleanly —
+    densify re-reads the UNCHANGED pre-epoch resident state — and lands on
+    the fold oracle. No double-apply, no partial state."""
+    from standardized_omop_data_etl_spark.sources.fs import (
+        FaultInjectingFileSystem,
+        LocalFileSystem,
+    )
+    from standardized_omop_data_etl_spark.sources.lake import CURRENT_PTR
+
+    base_events = [ev(i, "insert", f"c{i}", [i], 1, "s") for i in range(12)]
+    tbl = make_table(spark, tmp_path, [])
+    merge_into(tbl, spark.createDataFrame([Row(**e) for e in base_events], EV_SCHEMA),
+               epoch="e1", sparse_updates=True, batch_rows_bound=12)
+    v_before = tbl.current_version()
+
+    crashes = {"armed": True}
+
+    def hook(op, path):
+        if crashes["armed"] and op == "write_text_atomic" and path.endswith(CURRENT_PTR):
+            crashes["armed"] = False
+            raise RuntimeError("injected crash at pointer flip")
+
+    upd = [ev(100 + i, "update", f"c{i}", None, 77, None) for i in range(12)]
+    upd_df_rows = [Row(**e) for e in upd]
+    faulty = LakeTable.load(spark, tbl.path,
+                            fs=FaultInjectingFileSystem(LocalFileSystem(), hook=hook))
+    with pytest.raises(RuntimeError, match="injected crash"):
+        merge_into(faulty, spark.createDataFrame(upd_df_rows, EV_SCHEMA),
+                   epoch="e2", mode="mor", sparse_updates=True, batch_rows_bound=12)
+
+    # resume with a healthy fs: pre-crash state intact, epoch unstamped
+    resumed = LakeTable.load(spark, tbl.path)
+    assert resumed.current_version() == v_before
+    res = merge_into(resumed, spark.createDataFrame(upd_df_rows, EV_SCHEMA),
+                     epoch="e2", mode="mor", sparse_updates=True, batch_rows_bound=12)
+    assert not res.skipped
+    assert read_state(resumed) == fold_oracle({}, base_events + upd)
