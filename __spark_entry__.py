@@ -337,6 +337,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", TX.detect_lang_from_profile(F.col("_p")).alias("lang_pred")
         )
 
+    def q_pii_redact(spark, sf):
+        # PII shape-redaction (functions/text_analysis.py:redact_pii) + the
+        # pii_counts audit: synthetic PII (email/phone/IP/SSN shapes) is
+        # injected deterministically into every 3rd doc, then redacted by
+        # the JVM regexp_replace chain; counts run on the pre-redaction
+        # text. Patterns live in the Java∩RE2 dialect so the DuckDB oracle
+        # applies the identical chain.
+        docs = _t(spark, sf, "documents")
+        pii_txt = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567, host 10.0.0."),
+            F.pmod("doc_id", F.lit(255)).cast("string"),
+            F.lit(" ssn 123-45-6789"),
+        )
+        txt = F.when(F.pmod("doc_id", F.lit(3)) == 0, pii_txt).otherwise(F.col("text"))
+        counts = TX.pii_counts(txt)
+        return docs.select(
+            "doc_id",
+            TX.redact_pii(txt).alias("clean"),
+            counts["email"].cast("long").alias("n_email"),
+            counts["ip"].cast("long").alias("n_ip"),
+            counts["ssn"].cast("long").alias("n_ssn"),
+            counts["phone"].cast("long").alias("n_phone"),
+        )
+
     def q_embedding_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         queries_df = emb.filter(F.col("vec_id") < 5)
@@ -347,6 +373,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf):  # word-3-gram near-dup pairs (exact)
         docs = _t(spark, sf, "documents")
         return DD.ngram_jaccard_pairs(docs, "text", "doc_id", k=3, threshold=0.2)
+
+    def q_benchmark_contamination(spark, sf):
+        # decontamination sweep (operators/dedup.py:benchmark_contamination):
+        # probes = every 25th document standing in for a benchmark set;
+        # corpus docs sharing >=3 distinct word-3-grams with a probe are
+        # flagged. Probe shingles broadcast; corpus streams one explode.
+        docs = _t(spark, sf, "documents")
+        probes = docs.filter(F.pmod("doc_id", F.lit(25)) == 0)
+        return DD.benchmark_contamination(
+            docs, probes, "text", "doc_id", k=3, min_shared=3
+        )
 
     def q_minhash_lsh(spark, sf):
         # banded-LSH candidates VERIFIED by exact jaccard: the oracle is the
@@ -970,8 +1007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "quality_score": q_quality_score,
         "lang_detect": q_lang_detect,
+        "pii_redact": q_pii_redact,
         "embedding_topk": q_embedding_topk,
         "ngram_jaccard": q_ngram_jaccard,
+        "benchmark_contamination": q_benchmark_contamination,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
         "lsh_drop_stats": q_lsh_drop_stats,
@@ -1374,6 +1413,27 @@ def oracle_sql() -> dict[str, str]:
                    round(0.35 * len_band + 0.2 * wlen_band + 0.2 * punct_band + 0.25 * stop_band, 4) AS quality
             FROM b
         """,
+        "pii_redact": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-123-4567, host 10.0.0.'
+                            || CAST(doc_id % 255 AS VARCHAR) || ' ssn 123-45-6789'
+                     ELSE text END AS txt
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS clean,
+                   CAST(len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(txt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+                   CAST(len(regexp_extract_all(txt, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(txt, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+            FROM t
+        """,
         "lang_detect": r"""
             WITH w AS (
               SELECT doc_id,
@@ -1402,6 +1462,28 @@ def oracle_sql() -> dict[str, str]:
             FROM sc
         """,
         "ngram_jaccard": _JACCARD_ORACLE.format(threshold=0.2),
+        "benchmark_contamination": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     CASE WHEN len(ws) >= 3 THEN
+                            list_distinct(list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(list_slice(ws, i, i + 2), ' ')))
+                          WHEN len(ws) > 0 THEN [array_to_string(ws, ' ')]
+                          ELSE [] END AS g
+              FROM w),
+            inv AS (SELECT doc_id, unnest(g) AS gram FROM sh),
+            probes AS (SELECT doc_id AS probe_id, gram FROM inv WHERE doc_id % 25 = 0),
+            hits AS (
+              SELECT d.doc_id, p.probe_id, count(*) AS n
+              FROM inv d JOIN probes p ON d.gram = p.gram AND d.doc_id <> p.probe_id
+              GROUP BY 1, 2)
+            SELECT doc_id, probe_id, CAST(n AS BIGINT) AS shared_ngrams
+            FROM hits WHERE n >= 3
+        """,
         # minhash_lsh / simhash output the exact >=0.8 jaccard pair set via
         # candidate generation + exact verification; the oracle is the
         # brute-force pair set, so hash equality asserts candidate recall==1.

@@ -200,3 +200,39 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(F.transform(z, gram))).otherwise(
         F.when(n > 0, F.array(F.concat_ws(" ", ws))).otherwise(F.array().cast("array<string>"))
     )
+
+
+# PII redaction — the third leg of the standard pre-training hygiene trio
+# (dedup / quality / PII). Patterns are deliberately written in the common
+# subset of Java regex (Spark, executes JVM-side) and RE2 (DuckDB oracle):
+# \b, \d, character classes, bounded repetition — no lookarounds. Order
+# matters (EMAIL before the numeric patterns; IP before PHONE so dotted
+# quads never half-match a phone) and is part of the contract: redaction is
+# sequential, so both engines apply the same deterministic chain.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace common PII shapes with ``[TYPE]`` placeholders — emails,
+    IPv4s, SSN-shaped and phone-shaped numbers. Pure JVM ``regexp_replace``
+    chain (whole-stage codegen, no UDF); global per pattern. This is shape
+    redaction, not NER — names/addresses need a model pass, which belongs
+    behind the multimodal-style stub seam if ever added."""
+    out = text
+    for tag, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{tag}]")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """Struct of per-pattern match counts (``regexp_count``, JVM-side) —
+    the audit/observability companion to ``redact_pii``."""
+    return F.struct(
+        *[F.regexp_count(text, F.lit(pat)).alias(tag.lower())
+          for tag, pat in PII_PATTERNS]
+    )

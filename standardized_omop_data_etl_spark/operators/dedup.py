@@ -580,3 +580,64 @@ def simhash_with_stats(
         F.col("hamming_distance") <= max_distance
     )
     return out, drop_stats(blocked, cap)
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str,
+    id_col: str,
+    probe_id_col: str | None = None,
+    k: int = 3,
+    min_shared: int = 2,
+    corpus_df_max: int | None = None,
+) -> DataFrame:
+    """Benchmark-decontamination sweep: ``(id, probe_id, shared_ngrams)``
+    for every corpus document sharing ≥ ``min_shared`` DISTINCT word
+    ``k``-grams with a probe document (an eval/benchmark set). The standard
+    pre-training hygiene pass — corpus rows that echo benchmark text inflate
+    eval scores and must be dropped or flagged. (No reference analogue; this
+    belongs to the engine's LLM-pipeline family next to MinHash/SimHash.)
+
+    Scale shape: the probe set (benchmarks are ~10³–10⁶ docs) is shingled,
+    DISTINCT-ed, and broadcast; the 100 TB corpus streams through one
+    explode + broadcast hash join + map-side-combined count — no corpus-side
+    wide shuffle beyond the (id, probe_id) count exchange, whose size is
+    bounded by actual hits. Shingle arrays are distinct per doc
+    (``shingles``), so ``count(*)`` IS the distinct shared-gram count.
+
+    ``corpus_df_max`` (optional) drops grams whose CORPUS document frequency
+    exceeds the cap before the join — the stop-gram guard for small ``k``:
+    a gram like "of the and" present in both a probe and most of the corpus
+    fans the join out O(corpus) for zero decontamination signal. Costs one
+    extra map-side-combined aggregate over the exploded corpus; leave None
+    for k ≥ 5 where natural collisions are rare."""
+    pid = probe_id_col or id_col
+    p = (
+        probes.select(
+            F.col(pid).alias("probe_id"),
+            F.explode(shingles(F.col(text_col), k)).alias("_g"),
+        ).distinct()
+    )
+    d = docs.select(
+        F.col(id_col).alias("_doc_id"),
+        F.explode(shingles(F.col(text_col), k)).alias("_g"),
+    )
+    if corpus_df_max is not None:
+        # anti-join the DROPPED grams: stop-grams are few by definition, so
+        # the broadcast is bounded; broadcasting the keep-set would ship the
+        # corpus's whole distinct-gram space.
+        drop = (
+            d.groupBy("_g").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > corpus_df_max)
+            .select("_g")
+        )
+        d = d.join(F.broadcast(drop), "_g", "left_anti")
+    hits = (
+        d.join(F.broadcast(p), "_g")
+        .filter(F.col("_doc_id") != F.col("probe_id"))
+        .groupBy("_doc_id", "probe_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+    return hits.select(F.col("_doc_id").alias(id_col), "probe_id", "shared_ngrams")
