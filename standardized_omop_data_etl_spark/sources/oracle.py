@@ -60,7 +60,12 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     arrays→tuples, NA→None, numpy scalars→python scalars."""
     df = df.copy()
     for c in df.columns:
-        df[c] = df[c].map(_canon_value)
+        # astype(object) after the value map: values are already python
+        # scalars, but pandas re-infers a numeric dtype from them, and
+        # DataFrame.equals compares dtypes even on ZERO rows — an empty
+        # engine result (int64 from the Spark schema) would spuriously
+        # mismatch an empty oracle frame (object from a list literal).
+        df[c] = df[c].map(_canon_value).astype(object)
     df = df[sorted(df.columns)]
     return (
         df.sort_values(list(df.columns), kind="mergesort", key=lambda s: s.map(repr))

@@ -17,7 +17,7 @@ import tempfile
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import types as T
 
@@ -298,6 +298,10 @@ def sparse_scenario(draw):
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(sparse_scenario())
+# pinned regression: a sparse update to an absent key on an EMPTY table —
+# both sides fold to zero rows (exposed a dtype-only mismatch between the
+# empty engine frame and the empty oracle frame in canonicalize)
+@example(sc=([], [(0, "update", 0, None, None)], [(0, 1)], ["cow"]))
 def test_sparse_fold_reaches_oracle(spark, sc):
     """Sparse (partial-column) updates: any contiguous ascending epoching
     with any per-epoch mode folds to the pure-python per-column oracle —
