@@ -27,19 +27,18 @@ Scale notes
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
-# Winner sets at or below this many keys are broadcast in the narrow kernel's
-# candidate join; larger sets fall back to the window kernel (see
-# lww_latest_narrow's broadcast_winners='auto'). Same contract (and default
-# value) as plans.merge.BROADCAST_KEYS_MAX — the keys are short strings, so
-# 4M keys ≈ 100-200 MB broadcast, sized for real executors.
-BROADCAST_KEYS_MAX = 4_000_000
+# Winner sets at or below this many keys fit the narrow kernel's candidate
+# prefilter (bloom bitmap ≤ ~8 MB); larger sets fall back to the window
+# kernel (see lww_latest_narrow's broadcast_winners='auto'). Same contract
+# (and default value) as plans.merge.BROADCAST_KEYS_MAX. Env-tunable for
+# campaign A/Bs (SODES_BROADCAST_KEYS_MAX).
+BROADCAST_KEYS_MAX = int(os.environ.get("SODES_BROADCAST_KEYS_MAX", 4_000_000))
 
-# The auto probe is an HLL estimate (rsd=0.02), not an exact count: only
-# broadcast when the estimate clears the bound with room for the error, so
-# an undercount can never push an over-bound winner set into a broadcast.
-AUTO_BROADCAST_MARGIN = 0.9
 
 
 def lww_latest(
@@ -130,6 +129,75 @@ def lww_latest(
     return window_pick(src, keys, order_key, tie.desc(), count_col)
 
 
+# Blocked bloom prefilter for the narrow kernel's candidate fetch: one
+# 64-bit block per (key, winning-order) pair, BLOOM_PROBES bit positions
+# inside it. 16 bits/key at 4 in-block probes ≈ 0.1-0.5% false positives —
+# FPs only add rows to the exact candidate join, never wrong winners.
+BLOOM_BITS_PER_KEY = 16
+BLOOM_PROBES = 4
+_BLOOM_MIN_WORDS = 1 << 14   # 128 KiB floor: sizing noise on tiny batches
+_BLOOM_MAX_WORDS = 1 << 21   # 16 MiB cap ≈ BROADCAST_KEYS_MAX × 16 bits
+
+
+def _bloom_words(est_keys: int) -> int:
+    n = max(_BLOOM_MIN_WORDS, (max(est_keys, 1) * BLOOM_BITS_PER_KEY) // 64)
+    return min(1 << (n - 1).bit_length(), _BLOOM_MAX_WORDS)
+
+
+def _bloom_widx_mask(hash_col: Column, nwords: int) -> tuple[Column, Column]:
+    """(word index, in-word probe mask) for a 64-bit hash — pure JVM integer
+    ops (dynamic shifts via ``call_function``), fully codegen'd."""
+    widx = hash_col.bitwiseAND(F.lit(nwords - 1))
+    h2 = F.call_function("shiftrightunsigned", hash_col, F.lit(32))
+    mask = None
+    for i in range(BLOOM_PROBES):
+        pos = (
+            F.call_function("shiftrightunsigned", h2, F.lit(6 * i))
+            .bitwiseAND(F.lit(63)).cast("int")
+        )
+        bit = F.call_function("shiftleft", F.lit(1).cast("long"), pos)
+        mask = bit if mask is None else mask.bitwiseOR(bit)
+    return widx, mask
+
+
+def _bloom_broadcast_frame(winners: DataFrame, keys: list[str], ord_col: str,
+                           nwords: int) -> DataFrame:
+    """Build the winner-set bloom DISTRIBUTED (per-word ``bit_or`` aggregate
+    — the scatter happens on executors), assemble the dense bitmap on the
+    driver from the ≤nwords (word, bits) pairs via Arrow + numpy, and return
+    it as a ONE-ROW DataFrame for a broadcast nested-loop attach. Unlike a
+    broadcast hash relation of the winner rows, the driver never builds a
+    per-key structure: its work is O(bitmap), not O(keys), so the per-epoch
+    serial fraction stays flat as batches grow — the N→4N scaling lever."""
+    import numpy as np
+
+    h = F.xxhash64(*[F.col(k) for k in keys], F.col(ord_col))
+    widx, mask = _bloom_widx_mask(h, nwords)
+    pairs = (
+        winners.select(widx.alias("_w"), mask.alias("_m"))
+        .groupBy("_w").agg(F.bit_or("_m").alias("_m"))
+        .toArrow()
+    )
+    words = np.zeros(nwords, dtype=np.int64)
+    if pairs.num_rows:
+        words[pairs.column("_w").to_numpy()] = pairs.column("_m").to_numpy()
+    spark = winners.sparkSession
+    try:
+        import pyarrow as pa
+
+        return spark.createDataFrame(
+            pa.table({"_bf": pa.array([words.tolist()], type=pa.list_(pa.int64()))})
+        )
+    except Exception:
+        return spark.createDataFrame([(words.tolist(),)], "_bf array<bigint>")
+
+
+def _bloom_member(bf_col: Column, hash_col: Column, nwords: int) -> Column:
+    widx, mask = _bloom_widx_mask(hash_col, nwords)
+    word = F.element_at(bf_col, (widx + F.lit(1)).cast("int"))
+    return word.bitwiseAND(mask) == mask
+
+
 def lww_latest_narrow(
     df: DataFrame,
     key_cols: list[str] | str,
@@ -147,45 +215,38 @@ def lww_latest_narrow(
     1. ``groupBy(key).agg(max(order), count)`` over the key/order columns
        only — map-side combinable, so a hot key collapses to one partial per
        input partition before anything moves (no salting needed).
-    2. Join the (key, winning order) pairs back to the batch and keep rows
-       whose order equals the winner's (null-safe, so an all-NULL-order key
-       degrades to the same full-tie pick as the window path). When the
-       winner set is broadcast the batch streams from its scan with NO
-       exchange — Catalyst fuses the equality filter into the join as a
-       composite (order, key) hash key, and without the hint that fusion
-       forces a sort-merge exchange of every payload, defeating the point
-       (verified on the physical plan). ``broadcast_winners`` controls this:
+    2. Fetch the winners' payload rows from the batch — WITHOUT moving the
+       losers. ``broadcast_winners`` picks the fetch:
 
-       * ``"auto"`` (default) — the key count is estimated with a cheap HLL
-         probe (``approx_count_distinct`` over ``xxhash64(key)``: a
-         column-pruned scan whose map-side sketches are a few KB — no
-         aggregate materialized, no cache pinned, no per-epoch count job).
-         At or under ``AUTO_BROADCAST_MARGIN × broadcast_keys_max`` (the
-         margin absorbs the HLL error on the safe side) the winner set is
-         broadcast; PAST the bound the whole narrow plan is abandoned for
-         ``lww_latest``: once the key set can't be broadcast, the candidate
-         join would shuffle every payload anyway — the same bytes as the
-         window kernel's single exchange — and then still pay the phase-1
-         aggregate, a winner re-cluster, and the tie-break window on top.
-         Measured on a 16M-event / 8M-key epoch the shuffled candidate join
-         was ~2× the window kernel's wall and scaled worse (fixed per-epoch
-         jobs amortize over less parallel work). This is the size guard that
-         makes the kernel safe for UNBOUNDED key sets — an initial-load
-         epoch with tens of millions of distinct keys must not broadcast
-         them, and with this fallback it degrades to the window plan's
-         one-payload-shuffle cost instead of three exchanges.
-       * ``True`` / ``False`` — explicit, no probe job: force the broadcast
-         (caller guarantees a bounded key set) or force the shuffled
-         candidate join (kept for A/B measurement — ``lww_strategy`` callers
-         never reach it; prefer ``lww_latest`` when key-heavy).
+       * ``"auto"`` (default) — **bloom fetch**: the winner aggregate is
+         persisted and counted (one batch scan — the same scan phase 1
+         needs, so sizing is exact and free), a blocked bloom over
+         ``xxhash64(key, winning order)`` is built DISTRIBUTED (per-word
+         ``bit_or`` aggregate) and attached to the batch as a one-row
+         broadcast array; rows passing the map-side membership test (~one
+         per key plus ~0.1-0.5% false positives) are resolved EXACTLY by a
+         shuffle-hash join against the winner aggregate, co-partitioned at
+         ``num_partitions`` so the tie-break window reuses the exchange.
+         Unlike a broadcast hash relation of the winner rows — whose build
+         is O(keys) serial DRIVER time per epoch (~1.3 s at 1.6M keys, the
+         one per-epoch cost that grows with batch size but not with cores)
+         — the driver's work here is O(bitmap), so the fetch scales with
+         executors (the N→4N lever). And a bloom cannot OOM from a bad
+         size estimate: undersizing only raises the false-positive rate,
+         which the exact join absorbs. PAST ``broadcast_keys_max`` keys
+         (exact count, not an estimate) the whole narrow plan is abandoned
+         for ``lww_latest``: once the winner set is a large fraction of
+         the batch, the candidate join would shuffle nearly every payload
+         anyway — the same bytes as the window kernel's single exchange —
+         and then still pay the phase-1 aggregate and the bloom on top.
+       * ``True`` — legacy driver-broadcast of the winner rows (kept for
+         A/B measurement and for tiny bounded batches where two extra
+         bloom jobs cost more than a small broadcast build).
+       * ``False`` — fully shuffled candidate join (A/B only; prefer
+         ``lww_latest`` when key-heavy).
 
-       ``keys_bound`` short-circuits the ``"auto"`` probe: a caller that
-       knows a HARD upper bound on the batch's row count (a replay epoch's
-       LSN span, an offsets delta) passes it here, and since distinct keys
-       ≤ rows, a bound under the margin proves the broadcast safe with no
-       probe job. It must be a true bound, not an estimate — an
-       under-report defeats the size guard. Bounds past the margin just
-       fall through to the probe (many rows may still be few keys).
+       ``keys_bound`` is retained for API compatibility; exact count-based
+       sizing made it unnecessary (bounds are no longer consulted).
     3. The existing deterministic tie-break (xxhash64 over the full payload,
        identical column order to ``lww_latest``) picks one row per key among
        the few order-tied candidates; its window exchange doubles as the
@@ -207,40 +268,67 @@ def lww_latest_narrow(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = list(df.columns)
-    if broadcast_winners == "auto" and keys_bound is not None:
-        # distinct keys ≤ rows: a HARD row bound under the margin proves the
-        # winner set broadcastable with no probe job at all (the common
-        # bounded-epoch replay shape — one fewer batch scan per epoch); a
-        # bound past the margin proves nothing (keys may still be few), so
-        # fall through to the HLL probe rather than abandoning the kernel.
-        if keys_bound <= AUTO_BROADCAST_MARGIN * broadcast_keys_max:
-            broadcast_winners = True
+    agg_ord = F.max(order_col) if descending else F.min(order_col)
+    winners = df.groupBy(*[F.col(k) for k in keys]).agg(
+        agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
+    )
+    pinned = None
     if broadcast_winners == "auto":
-        est = df.agg(
-            F.approx_count_distinct(
-                F.xxhash64(*[F.col(k) for k in keys]), rsd=0.02
-            ).alias("n")
-        ).collect()[0]["n"]
-        if est > AUTO_BROADCAST_MARGIN * broadcast_keys_max:
+        # Exact, free sizing: the bloom fetch needs the winner aggregate
+        # materialized anyway (bitmap build + exact join share it), so
+        # persist it and count() — one batch scan, no separate HLL probe
+        # job (the probe was a second full narrow scan per epoch). The
+        # count also gates the window-kernel fallback EXACTLY instead of
+        # by estimate; and unlike a broadcast hash relation, a bloom can
+        # never OOM from an under-estimate — a too-small bitmap only
+        # raises the false-positive rate, which the exact join absorbs.
+        winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+        n_keys = winners.count()
+        if n_keys > broadcast_keys_max:
+            winners.unpersist()
             out = lww_latest(
                 df, keys, order_col, descending=descending,
                 count_col=count_col, num_partitions=num_partitions,
             )
             out._sodes_pinned = None  # API compat: nothing pinned on this path
             return out
-        do_broadcast = True
+        pinned = winners
+        # Bloom fetch (default): the winner set never becomes a driver-built
+        # broadcast hash relation — that build is O(keys) SERIAL driver time
+        # per epoch (~1.3 s at 1.6M keys), the one per-epoch cost that grows
+        # with batch size but not with cores. Instead: (a) prefilter the
+        # batch map-side with a blocked bloom over xxhash64(key, winning
+        # order) built distributively and attached as a one-row broadcast
+        # (O(bitmap) driver work); (b) resolve exactly with a co-partitioned
+        # shuffle-hash join against the winner aggregate at the bucket
+        # partitioning, which the tie-break window then reuses — so the only
+        # wide exchange is still the ~one-row-per-key candidate set, and no
+        # stage does O(keys) work on the driver. False positives only add
+        # rows to the exact join; the eqNullSafe filter keeps winners
+        # bit-identical to the window kernel.
+        nwords = _bloom_words(n_keys)
+        bf = _bloom_broadcast_frame(winners, keys, "_w_ord", nwords)
+        h = F.xxhash64(*[F.col(k) for k in keys], F.col(order_col))
+        cand = df.join(F.broadcast(bf)).filter(
+            _bloom_member(F.col("_bf"), h, nwords)
+        ).drop("_bf")
+        if num_partitions:
+            cand = cand.repartition(num_partitions, *[F.col(k) for k in keys])
+            win_side = winners.repartition(num_partitions, *[F.col(k) for k in keys])
+        else:
+            win_side = winners
+        cand = cand.join(win_side.hint("shuffle_hash"), on=keys, how="inner").filter(
+            F.col(order_col).eqNullSafe(F.col("_w_ord"))
+        )
     else:
-        do_broadcast = bool(broadcast_winners)
-    agg_ord = F.max(order_col) if descending else F.min(order_col)
-    winners = df.groupBy(*[F.col(k) for k in keys]).agg(
-        agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
-    )
-    win_side = F.broadcast(winners) if do_broadcast else winners.hint("shuffle_hash")
-    cand = df.join(win_side, on=keys, how="inner").filter(
-        F.col(order_col).eqNullSafe(F.col("_w_ord"))
-    )
-    if num_partitions:
-        cand = cand.repartition(num_partitions, *[F.col(k) for k in keys])
+        win_side = (
+            F.broadcast(winners) if broadcast_winners else winners.hint("shuffle_hash")
+        )
+        cand = df.join(win_side, on=keys, how="inner").filter(
+            F.col(order_col).eqNullSafe(F.col("_w_ord"))
+        )
+        if num_partitions:
+            cand = cand.repartition(num_partitions, *[F.col(k) for k in keys])
     tie = F.xxhash64(*[F.col(c) for c in payload_cols])
     w = Window.partitionBy(*keys).orderBy(tie.desc())
     out = cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
@@ -249,15 +337,15 @@ def lww_latest_narrow(
     out = out.drop("_rn", "_w_ord", "_w_cnt").select(
         *payload_cols, *([count_col] if count_col else [])
     )
-    out._sodes_pinned = None  # nothing pinned since the HLL auto-probe
+    out._sodes_pinned = pinned  # bloom fetch pins the winner aggregate
     return out
 
 
 def unpersist_pinned(df: DataFrame) -> None:
-    """Release anything a kernel call pinned in the block-manager cache.
-    Since the ``broadcast_winners='auto'`` probe became a cache-free HLL
-    estimate this is a no-op, kept so epoch loops written against the old
-    persist-and-count contract stay source-compatible."""
+    """Release anything a kernel call pinned in the block-manager cache —
+    the bloom fetch pins the (key, order, count) winner aggregate so the
+    bitmap build and the exact candidate join share one computation. Call
+    after the kernel's output has been materialized (e.g. scratch write)."""
     pinned = getattr(df, "_sodes_pinned", None)
     if pinned is not None:
         pinned.unpersist()

@@ -98,7 +98,7 @@ VALID_OPS = ("insert", "update", "delete", "upsert")
 # 100-200 MB broadcast — sized for real executors). Above it, shuffled hash
 # joins (never sort-merge: sorting the table side is pure waste for an
 # existence check) plus one bucket-aligned repartition before the write.
-BROADCAST_KEYS_MAX = 4_000_000
+BROADCAST_KEYS_MAX = int(os.environ.get("SODES_BROADCAST_KEYS_MAX", 4_000_000))
 
 # Above BROADCAST_KEYS_MAX the narrow key sides shuffle-hash-join (no sort,
 # no plan flapping). An explicit hint is BINDING though — AQE cannot demote
@@ -617,14 +617,15 @@ def _lww_winners(
     first and moves only the winners' payloads — same winners bit-exact
     (see ``lww_latest_narrow``), ~events-per-key× fewer wide-shuffle bytes,
     hot keys combine before the exchange so salting is unnecessary. The
-    narrow kernel's winner-set broadcast is size-guarded against
-    ``BROADCAST_KEYS_MAX`` (``broadcast_winners='auto'`` estimates the key
-    count with a cheap column-pruned HLL probe and, past the bound, abandons
-    the narrow plan for the window kernel — once the winners can't be
-    broadcast, a candidate join would shuffle every payload anyway, so the
-    window path's single exchange is the strictly cheaper shape; a key-heavy
-    epoch, e.g. an initial load, must never broadcast millions of winner
-    rows). ``unpersist_pinned`` remains a no-op-compatible release hook.
+    winners' payloads are fetched with a distributed blocked-bloom prefilter
+    plus a co-partitioned exact join (``broadcast_winners='auto'``) — no
+    driver-built winner broadcast, so the per-epoch serial fraction stays
+    O(bitmap) — size-guarded against ``BROADCAST_KEYS_MAX`` by the winner
+    aggregate's exact count: past the bound the narrow plan is abandoned for
+    the window kernel (once the winners can't be bloom-pruned effectively, a
+    candidate join would shuffle nearly every payload anyway, so the window
+    path's single exchange is the strictly cheaper shape). The kernel pins
+    the winner aggregate; ``unpersist_pinned`` releases it post-scratch.
 
     ``strategy='prereduced'`` is for batches the caller GUARANTEES hold at
     most one event per key (``densify_sparse_batch`` output): LWW over them
@@ -637,9 +638,15 @@ def _lww_winners(
             src = src.withColumn("_n_events", F.lit(1).cast("long"))
         return src.repartition(num_buckets, F.col(key))
     if strategy == "narrow":
+        # SODES_WINNER_FETCH: campaign A/B escape hatch — "auto" (bloom,
+        # default), "broadcast" (legacy driver-built winner broadcast),
+        # "shuffled" (fully shuffled candidate join).
+        fetch = {"auto": "auto", "broadcast": True, "shuffled": False}[
+            os.environ.get("SODES_WINNER_FETCH", "auto")
+        ]
         return lww_latest_narrow(
             batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets,
-            broadcast_winners="auto", broadcast_keys_max=BROADCAST_KEYS_MAX,
+            broadcast_winners=fetch, broadcast_keys_max=BROADCAST_KEYS_MAX,
             keys_bound=rows_bound,
         )
     src = lww_latest(

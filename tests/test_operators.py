@@ -525,12 +525,14 @@ def test_lww_narrow_null_order_parity(spark):
         assert win == nar, f"descending={desc}: {win} != {nar}"
 
 
-def test_lww_narrow_keys_bound_skips_probe(spark, monkeypatch):
-    """A hard row bound under the broadcast margin proves the winner set
-    broadcastable (distinct keys <= rows), so the auto path must broadcast
-    WITHOUT running the HLL probe job — one fewer batch scan per epoch.
-    A bound past the margin proves nothing and must fall through to the
-    probe."""
+def test_lww_narrow_bloom_fetch_no_driver_relation(spark, monkeypatch):
+    """The auto (bloom) fetch must never build a driver-side winner hash
+    relation OR run a separate HLL sizing probe: sizing comes from the
+    persisted winner aggregate's exact count, the bitmap rides in as a
+    one-row broadcast (BroadcastNestedLoopJoin), and the exact candidate
+    join is a shuffled hash join — no BroadcastHashJoin anywhere. Past
+    ``broadcast_keys_max`` (exact count) the kernel abandons the narrow
+    plan for the window kernel, same winners."""
     import standardized_omop_data_etl_spark.operators.lww as lww
 
     df = spark.createDataFrame(
@@ -546,20 +548,22 @@ def test_lww_narrow_keys_bound_skips_probe(spark, monkeypatch):
 
     monkeypatch.setattr(lww.F, "approx_count_distinct", counting)
 
-    out = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n", keys_bound=100)
-    assert probes["n"] == 0, "probe ran despite a sub-margin keys_bound"
-    assert "BroadcastExchange" in _physical_plan(out)
+    out = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n")
+    plan = _physical_plan(out)
+    assert probes["n"] == 0, "bloom fetch must not run an HLL probe job"
+    assert "BroadcastHashJoin" not in plan, "winner set must not be a driver-built relation"
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row bitmap attach
+    assert "ShuffledHashJoin" in plan  # the exact candidate join
     got = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out.collect()}
+    lww.unpersist_pinned(out)
     exp = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in
            lww_latest(df, "k", "lsn", count_col="_n").collect()}
     assert got == exp
 
-    # bound past the margin: probe must still run (keys may be few or many)
-    out2 = lww.lww_latest_narrow(
-        df, "k", "lsn", count_col="_n",
-        broadcast_keys_max=10, keys_bound=1_000_000,
-    )
-    assert probes["n"] == 1, "over-margin keys_bound must fall through to the probe"
-    # 50 keys > margin*10 -> abandoned for the window kernel, same winners
+    # past the cap (exact count 50 > 10): abandoned for the window kernel,
+    # same winners, and no candidate-join machinery in the plan
+    out2 = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n", broadcast_keys_max=10)
+    plan2 = _physical_plan(out2)
+    assert "ShuffledHashJoin" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
     got2 = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out2.collect()}
     assert got2 == exp
