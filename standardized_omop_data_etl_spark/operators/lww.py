@@ -129,73 +129,19 @@ def lww_latest(
     return window_pick(src, keys, order_key, tie.desc(), count_col)
 
 
-# Blocked bloom prefilter for the narrow kernel's candidate fetch: one
-# 64-bit block per (key, winning-order) pair, BLOOM_PROBES bit positions
-# inside it. 16 bits/key at 4 in-block probes ≈ 0.1-0.5% false positives —
-# FPs only add rows to the exact candidate join, never wrong winners.
-BLOOM_BITS_PER_KEY = 16
-BLOOM_PROBES = 4
-_BLOOM_MIN_WORDS = 1 << 14   # 128 KiB floor: sizing noise on tiny batches
-_BLOOM_MAX_WORDS = 1 << 21   # 16 MiB cap ≈ BROADCAST_KEYS_MAX × 16 bits
+# Blocked bloom prefilter for the narrow kernel's candidate fetch (shared
+# primitives in operators.bloom): one 64-bit block per (key, winning-order)
+# pair, 4 bit positions inside it ≈ 0.1-0.5% false positives — FPs only add
+# rows to the exact candidate join, never wrong winners.
+from .bloom import DIRECT_BCAST_MAX, bloom_frame, bloom_member, bloom_words
 
-
-def _bloom_words(est_keys: int) -> int:
-    n = max(_BLOOM_MIN_WORDS, (max(est_keys, 1) * BLOOM_BITS_PER_KEY) // 64)
-    return min(1 << (n - 1).bit_length(), _BLOOM_MAX_WORDS)
-
-
-def _bloom_widx_mask(hash_col: Column, nwords: int) -> tuple[Column, Column]:
-    """(word index, in-word probe mask) for a 64-bit hash — pure JVM integer
-    ops (dynamic shifts via ``call_function``), fully codegen'd."""
-    widx = hash_col.bitwiseAND(F.lit(nwords - 1))
-    h2 = F.call_function("shiftrightunsigned", hash_col, F.lit(32))
-    mask = None
-    for i in range(BLOOM_PROBES):
-        pos = (
-            F.call_function("shiftrightunsigned", h2, F.lit(6 * i))
-            .bitwiseAND(F.lit(63)).cast("int")
-        )
-        bit = F.call_function("shiftleft", F.lit(1).cast("long"), pos)
-        mask = bit if mask is None else mask.bitwiseOR(bit)
-    return widx, mask
-
-
-def _bloom_broadcast_frame(winners: DataFrame, keys: list[str], ord_col: str,
-                           nwords: int) -> DataFrame:
-    """Build the winner-set bloom DISTRIBUTED (per-word ``bit_or`` aggregate
-    — the scatter happens on executors), assemble the dense bitmap on the
-    driver from the ≤nwords (word, bits) pairs via Arrow + numpy, and return
-    it as a ONE-ROW DataFrame for a broadcast nested-loop attach. Unlike a
-    broadcast hash relation of the winner rows, the driver never builds a
-    per-key structure: its work is O(bitmap), not O(keys), so the per-epoch
-    serial fraction stays flat as batches grow — the N→4N scaling lever."""
-    import numpy as np
-
-    h = F.xxhash64(*[F.col(k) for k in keys], F.col(ord_col))
-    widx, mask = _bloom_widx_mask(h, nwords)
-    pairs = (
-        winners.select(widx.alias("_w"), mask.alias("_m"))
-        .groupBy("_w").agg(F.bit_or("_m").alias("_m"))
-        .toArrow()
-    )
-    words = np.zeros(nwords, dtype=np.int64)
-    if pairs.num_rows:
-        words[pairs.column("_w").to_numpy()] = pairs.column("_m").to_numpy()
-    spark = winners.sparkSession
-    try:
-        import pyarrow as pa
-
-        return spark.createDataFrame(
-            pa.table({"_bf": pa.array([words.tolist()], type=pa.list_(pa.int64()))})
-        )
-    except Exception:
-        return spark.createDataFrame([(words.tolist(),)], "_bf array<bigint>")
-
-
-def _bloom_member(bf_col: Column, hash_col: Column, nwords: int) -> Column:
-    widx, mask = _bloom_widx_mask(hash_col, nwords)
-    word = F.element_at(bf_col, (widx + F.lit(1)).cast("int"))
-    return word.bitwiseAND(mask) == mask
+# Bounded batches at or under DIRECT_BCAST_MAX rows skip the bloom
+# machinery and broadcast the winner rows directly: a ≤512k-row hash
+# relation builds in well under 100 ms, cheaper than the bloom's two extra
+# jobs (count + bitmap aggregate) on a micro-batch. Only a HARD bound
+# (caller-guaranteed row count) takes this path — distinct keys ≤ rows, so
+# it can never admit an oversized broadcast.
+WINNER_BCAST_FAST_MAX = DIRECT_BCAST_MAX
 
 
 def lww_latest_narrow(
@@ -245,8 +191,12 @@ def lww_latest_narrow(
        * ``False`` — fully shuffled candidate join (A/B only; prefer
          ``lww_latest`` when key-heavy).
 
-       ``keys_bound`` is retained for API compatibility; exact count-based
-       sizing made it unnecessary (bounds are no longer consulted).
+       ``keys_bound`` (a HARD caller-guaranteed row bound — an LSN span,
+       an offsets delta; never an estimate) only serves the micro-batch
+       fast path: at or under ``WINNER_BCAST_FAST_MAX`` the auto fetch
+       broadcasts directly, since a tiny relation builds faster than the
+       bloom's two extra jobs. Larger or unbounded batches take the bloom
+       path, whose sizing is exact (the count) and OOM-safe regardless.
     3. The existing deterministic tie-break (xxhash64 over the full payload,
        identical column order to ``lww_latest``) picks one row per key among
        the few order-tied candidates; its window exchange doubles as the
@@ -268,6 +218,14 @@ def lww_latest_narrow(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = list(df.columns)
+    if (
+        broadcast_winners == "auto"
+        and keys_bound is not None
+        and keys_bound <= min(WINNER_BCAST_FAST_MAX, broadcast_keys_max)
+    ):
+        # micro-batch fast path: tiny bounded winner set — direct broadcast
+        # beats the bloom's two extra jobs (see WINNER_BCAST_FAST_MAX)
+        broadcast_winners = True
     agg_ord = F.max(order_col) if descending else F.min(order_col)
     winners = df.groupBy(*[F.col(k) for k in keys]).agg(
         agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
@@ -306,11 +264,12 @@ def lww_latest_narrow(
         # stage does O(keys) work on the driver. False positives only add
         # rows to the exact join; the eqNullSafe filter keeps winners
         # bit-identical to the window kernel.
-        nwords = _bloom_words(n_keys)
-        bf = _bloom_broadcast_frame(winners, keys, "_w_ord", nwords)
+        nwords = bloom_words(n_keys)
+        h_win = F.xxhash64(*[F.col(k) for k in keys], F.col("_w_ord"))
+        bf = bloom_frame(winners, h_win, nwords)
         h = F.xxhash64(*[F.col(k) for k in keys], F.col(order_col))
         cand = df.join(F.broadcast(bf)).filter(
-            _bloom_member(F.col("_bf"), h, nwords)
+            bloom_member(F.col("_bf"), h, nwords)
         ).drop("_bf")
         if num_partitions:
             cand = cand.repartition(num_partitions, *[F.col(k) for k in keys])

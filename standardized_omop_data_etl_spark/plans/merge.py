@@ -73,6 +73,7 @@ from typing import Any
 from pyspark.sql import DataFrame, functions as F, types as T
 from pyspark.storagelevel import StorageLevel
 
+from ..operators.bloom import DIRECT_BCAST_MAX, bloom_anti, bloom_semi
 from ..operators.lww import lww_latest, lww_latest_narrow, unpersist_pinned
 from ..sources.lake import (
     DELETED_COL,
@@ -108,11 +109,15 @@ BROADCAST_KEYS_MAX = int(os.environ.get("SODES_BROADCAST_KEYS_MAX", 4_000_000))
 SHUFFLE_HASH_KEYS_MAX = 64_000_000
 
 
-def _keyed_join_side(df, rows_est: int):
+def _keyed_join_side(df, rows_est: int, bcast_max: int | None = None):
     """Size-tiered join side for a narrow key frame: broadcast under the
     broadcast cap, explicit shuffle-hash under the hash-build cap, unhinted
-    (AQE) past it."""
-    if rows_est <= BROADCAST_KEYS_MAX:
+    (AQE) past it. Callers on the per-epoch hot path pass a LOW ``bcast_max``
+    (DIRECT_BCAST_MAX): a broadcast hash relation build is O(rows) serial
+    driver time, so past ~512k keys the fully parallel shuffle-hash exchange
+    of two narrow frames is both faster at scale and executor-count-
+    proportional — the broadcast's only win is on genuinely small sides."""
+    if rows_est <= (BROADCAST_KEYS_MAX if bcast_max is None else bcast_max):
         return F.broadcast(df)
     if rows_est <= SHUFFLE_HASH_KEYS_MAX:
         return df.hint("shuffle_hash")
@@ -122,14 +127,16 @@ def _keyed_join_side(df, rows_est: int):
 def _probe_target_side(table, touched, src_keys, tgt_rows_est, batch_rows_bound):
     """The metrics probe's target side, shared by the cow and mor probes:
     a 3-column (key, _t_lsn, _t_del) read of the touched buckets, size-tiered
-    via ``_keyed_join_side`` — OR, when the target outgrows the broadcast cap
-    but the EPOCH's hard row bound fits it (winners ≤ batch rows), pruned by
-    a semi-join of the winner keys pushed below the scan and below the mor
-    LWW resolver, then broadcast: the probe does no table-sized exchange at
-    all. Without the pruning, a >cap-key table forces shuffle-hash/sort-merge
-    over EVERY resident key of the touched buckets per epoch — O(table)
-    exchange for an O(batch) classification, the dominant per-epoch cost in
-    the 10^10-row regime's routine micro-batches."""
+    via ``_keyed_join_side`` at the LOW broadcast tier (DIRECT_BCAST_MAX —
+    the probe runs every epoch, so its driver-serial relation build is a
+    scaling cost, and a shuffle-hash of two narrow key frames parallelizes
+    fully). When the target outgrows BROADCAST_KEYS_MAX but the EPOCH's hard
+    row bound fits it (winners ≤ batch rows), the scan is pruned by a
+    semi-join of the winner keys pushed below the scan and below the mor LWW
+    resolver — without the pruning, a >cap-key table forces the join over
+    EVERY resident key of the touched buckets per epoch: O(table) exchange
+    for an O(batch) classification, the dominant per-epoch cost in the
+    10^10-row regime's routine micro-batches."""
     key = table.key_col
     prune = (
         tgt_rows_est > BROADCAST_KEYS_MAX
@@ -140,7 +147,14 @@ def _probe_target_side(table, touched, src_keys, tgt_rows_est, batch_rows_bound)
         buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL],
         key_filter=src_keys.select(key) if prune else None,
     ).withColumnRenamed(LSN_COL, "_t_lsn").withColumnRenamed(DELETED_COL, "_t_del")
-    return F.broadcast(tgt_keys) if prune else _keyed_join_side(tgt_keys, tgt_rows_est)
+    if prune:
+        # the pruned scan is ≈ batch-keys-sized; broadcast it only when that
+        # bound is genuinely small — a multi-M-row relation build is serial
+        # driver time (see _keyed_join_side)
+        return _keyed_join_side(
+            tgt_keys, min(batch_rows_bound, tgt_rows_est), bcast_max=DIRECT_BCAST_MAX
+        )
+    return _keyed_join_side(tgt_keys, tgt_rows_est, bcast_max=DIRECT_BCAST_MAX)
 
 
 
@@ -939,17 +953,16 @@ def _merge_into_locked(
         srcr = spark.read.schema(src.schema).parquet(scratch_dir)
 
         # ---- 3. Narrow key probe: winner keys ⟕ target(key, _lsn) — both
-        # sides key-sized, payloads never move. The manifest's per-bucket row
-        # counts size the target side FOR FREE (no sizing job): when the
-        # touched buckets hold ≤ BROADCAST_KEYS_MAX distinct KEYS (live +
-        # tombstoned — exactly what this include_hidden scan materializes:
-        # clean buckets hold one row per key, mor buckets resolve to it),
-        # broadcast them so the batch side streams from scratch with NO
-        # exchange — this is per-epoch serial shuffle latency, so removing it
-        # raises N→4N scaling efficiency, not just wall-clock. Above the
-        # threshold, explicit shuffle-hash: a sort-merge plan (AQE's
-        # occasional pick at borderline sizes) pays two sorts for nothing,
-        # and plan flapping makes throughput bimodal.
+        # sides key-sized, payloads never move. The manifest's per-bucket
+        # key counts size the target side FOR FREE (no sizing job): a small
+        # side (≤DIRECT_BCAST_MAX keys, live + tombstoned — exactly what
+        # this include_hidden scan materializes) broadcasts; a bigger one
+        # takes an explicit shuffle-hash of the two NARROW frames — fully
+        # parallel, unlike a multi-M-row broadcast relation build, which is
+        # serial driver time every epoch (the N→4N scaling cost). Explicit
+        # hint, never sort-merge: a sort-merge plan (AQE's occasional pick
+        # at borderline sizes) pays two sorts for nothing, and plan
+        # flapping makes throughput bimodal.
         tgt_rows_est = sum(prev_keys.get(b, 0) for b in touched)
         tgt_side = _probe_target_side(table, touched, srcr, tgt_rows_est, batch_rows_bound)
         narrow = srcr.select(key, lsn_col, op_col, "_bucket", "_n_events").join(
@@ -1028,29 +1041,38 @@ def _merge_into_locked(
         # totals are already in hand, so each filter picks its CHEAPEST form:
         # an empty complement means no join at all (the common replay case —
         # stale==0 ⇒ every winner applies, so srcr passes through untouched),
-        # otherwise broadcast the smaller of (set, complement) when it fits,
-        # and only fall back to a shuffled join when neither side is
-        # broadcast-sized. Building a broadcast hash relation is a fixed
-        # per-epoch driver cost, so shrinking it raises N→4N scaling
-        # efficiency, not just wall-clock.
+        # a small set broadcasts, and a large one takes the bloom-prefiltered
+        # exact filter (operators.bloom) whose only driver cost is a bitmap —
+        # a broadcast hash relation build is O(keys) SERIAL driver time per
+        # epoch, the fixed cost that caps N→4N scaling efficiency.
         n_stale = totals["stale"]
         version = table.current_version() + 1
         new_files: dict[int, list[str]] = {}
         bytes_written = 0
         if changed:
-            shuffled = False  # any shuffled key filter breaks bucket clustering
 
             def keyed(action_filter, count: int, base: DataFrame, how: str) -> DataFrame:
-                nonlocal shuffled
+                # Size-tiered EXACT key filter. ≤DIRECT_BCAST_MAX: broadcast
+                # (a tiny relation builds faster than a bitmap job). Past it:
+                # bloom-prefiltered semi/anti (operators.bloom) — no O(keys)
+                # driver build, and because the exact join co-partitions at
+                # num_buckets — repartition's Murmur3-pmod IS bucket_expr —
+                # every output partition stays bucket-pure, so the write
+                # still needs no re-cluster exchange (the old fallback
+                # re-shuffled the ENTIRE rewrite output past the broadcast
+                # cap).
                 ks = resolved.filter(action_filter).select(key)
-                if count <= BROADCAST_KEYS_MAX:
+                if count <= DIRECT_BCAST_MAX:
                     return base.join(F.broadcast(ks), on=key, how=how)
-                shuffled = True
-                return base.join(_keyed_join_side(ks, count), on=key, how=how)
+                fn = bloom_anti if how == "left_anti" else bloom_semi
+                return fn(base, ks, key, count, num_buckets)
 
             if n_stale == 0:
                 applied_rows = srcr  # nothing to drop: every LWW winner applies
-            elif n_stale < n_applied or n_applied > BROADCAST_KEYS_MAX:
+            elif n_stale <= n_applied:
+                # anti on the smaller (stale) set: above DIRECT_BCAST_MAX the
+                # bloom form exchanges only ~that set's rows, so always
+                # filter by the side that moves less
                 applied_rows = keyed(F.col("_action") == "stale", n_stale, srcr, "left_anti")
             else:
                 applied_rows = keyed(F.col("_action") != "stale", n_applied, srcr, "left_semi")
@@ -1086,10 +1108,11 @@ def _merge_into_locked(
                 bucket_expr(key, num_buckets).alias("_bucket"),
             )
             out = surviving.unionByName(new_rows)
-            # broadcast/no-join paths: both sides stream from per-bucket
-            # files, so the union is already clustered; a shuffled key
-            # filter must re-align once.
-            _, out_dir = table.write_bucket_files(out, version, cluster=shuffled)
+            # every filter path preserves bucket alignment: broadcast and
+            # bloom-negative branches stream from per-bucket files, and the
+            # bloom exact joins land on num_buckets hash partitions, which
+            # ARE the buckets — so no re-cluster before the write, ever
+            _, out_dir = table.write_bucket_files(out, version, cluster=False)
             new_files = table.list_bucket_files(out_dir)
             for b, fl in new_files.items():
                 nbytes = sum(table.fs.getsize(table.fs.join(table.path, f)) for f in fl)

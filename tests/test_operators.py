@@ -567,3 +567,33 @@ def test_lww_narrow_bloom_fetch_no_driver_relation(spark, monkeypatch):
     assert "ShuffledHashJoin" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
     got2 = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out2.collect()}
     assert got2 == exp
+
+
+def test_bloom_semi_anti_exact(spark):
+    """bloom_semi/bloom_anti (operators.bloom) must be EXACT set filters —
+    false positives die in the exact join, false negatives are impossible —
+    including duplicate base rows, keys absent from the set, and an empty
+    set; and the plan must contain no BroadcastHashJoin (the whole point is
+    no driver-built relation)."""
+    from standardized_omop_data_etl_spark.operators import bloom as B
+
+    base = spark.createDataFrame(
+        [(f"k{i % 700}", i) for i in range(3000)], "k string, v int"
+    )
+    ks = spark.createDataFrame([(f"k{i}",) for i in range(0, 700, 3)], "k string")
+
+    exp_semi = base.join(ks, "k", "left_semi").orderBy("k", "v").collect()
+    exp_anti = base.join(ks, "k", "left_anti").orderBy("k", "v").collect()
+
+    got_semi = B.bloom_semi(base, ks, "k", 234, 8)
+    got_anti = B.bloom_anti(base, ks, "k", 234, 8)
+    for got in (got_semi, got_anti):
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+    assert got_semi.orderBy("k", "v").collect() == exp_semi
+    assert got_anti.orderBy("k", "v").collect() == exp_anti
+
+    # empty key set: semi -> nothing, anti -> everything
+    empty = spark.createDataFrame([], "k string")
+    assert B.bloom_semi(base, empty, "k", 0, 8).count() == 0
+    assert B.bloom_anti(base, empty, "k", 0, 8).count() == base.count()
