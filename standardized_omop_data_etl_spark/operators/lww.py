@@ -133,15 +133,12 @@ def lww_latest(
 # primitives in operators.bloom): one 64-bit block per (key, winning-order)
 # pair, 4 bit positions inside it ≈ 0.1-0.5% false positives — FPs only add
 # rows to the exact candidate join, never wrong winners.
-from .bloom import DIRECT_BCAST_MAX, bloom_frame, bloom_member, bloom_words
+from .bloom import bloom_frame, bloom_member, bloom_words
 
-# Bounded batches at or under DIRECT_BCAST_MAX rows skip the bloom
-# machinery and broadcast the winner rows directly: a ≤512k-row hash
-# relation builds in well under 100 ms, cheaper than the bloom's two extra
-# jobs (count + bitmap aggregate) on a micro-batch. Only a HARD bound
-# (caller-guaranteed row count) takes this path — distinct keys ≤ rows, so
-# it can never admit an oversized broadcast.
-WINNER_BCAST_FAST_MAX = DIRECT_BCAST_MAX
+# The auto probe is an HLL estimate (rsd=0.02), not an exact count: only
+# broadcast when the estimate clears the bound with room for the error, so
+# an undercount can never push an over-bound winner set into a broadcast.
+AUTO_BROADCAST_MARGIN = 0.9
 
 
 def lww_latest_narrow(
@@ -164,39 +161,32 @@ def lww_latest_narrow(
     2. Fetch the winners' payload rows from the batch — WITHOUT moving the
        losers. ``broadcast_winners`` picks the fetch:
 
-       * ``"auto"`` (default) — **bloom fetch**: the winner aggregate is
-         persisted and counted (one batch scan — the same scan phase 1
-         needs, so sizing is exact and free), a blocked bloom over
-         ``xxhash64(key, winning order)`` is built DISTRIBUTED (per-word
-         ``bit_or`` aggregate) and attached to the batch as a one-row
-         broadcast array; rows passing the map-side membership test (~one
-         per key plus ~0.1-0.5% false positives) are resolved EXACTLY by a
-         shuffle-hash join against the winner aggregate, co-partitioned at
-         ``num_partitions`` so the tie-break window reuses the exchange.
-         Unlike a broadcast hash relation of the winner rows — whose build
-         is O(keys) serial DRIVER time per epoch (~1.3 s at 1.6M keys, the
-         one per-epoch cost that grows with batch size but not with cores)
-         — the driver's work here is O(bitmap), so the fetch scales with
-         executors (the N→4N lever). And a bloom cannot OOM from a bad
-         size estimate: undersizing only raises the false-positive rate,
-         which the exact join absorbs. PAST ``broadcast_keys_max`` keys
-         (exact count, not an estimate) the whole narrow plan is abandoned
-         for ``lww_latest``: once the winner set is a large fraction of
-         the batch, the candidate join would shuffle nearly every payload
-         anyway — the same bytes as the window kernel's single exchange —
-         and then still pay the phase-1 aggregate and the bloom on top.
-       * ``True`` — legacy driver-broadcast of the winner rows (kept for
-         A/B measurement and for tiny bounded batches where two extra
-         bloom jobs cost more than a small broadcast build).
-       * ``False`` — fully shuffled candidate join (A/B only; prefer
-         ``lww_latest`` when key-heavy).
-
-       ``keys_bound`` (a HARD caller-guaranteed row bound — an LSN span,
-       an offsets delta; never an estimate) only serves the micro-batch
-       fast path: at or under ``WINNER_BCAST_FAST_MAX`` the auto fetch
-       broadcasts directly, since a tiny relation builds faster than the
-       bloom's two extra jobs. Larger or unbounded batches take the bloom
-       path, whose sizing is exact (the count) and OOM-safe regardless.
+       * ``"auto"`` (default) — broadcast the (key, winning order, count)
+         aggregate, size-guarded: a HARD ``keys_bound`` under the margin
+         proves it safe with no probe job (distinct keys ≤ rows); an
+         unbounded batch pays a cheap HLL probe; past
+         ``broadcast_keys_max`` the whole narrow plan is abandoned for
+         ``lww_latest`` (once the winner set can't be broadcast, a
+         candidate join would shuffle every payload anyway). Measured on
+         this box the relation build costs ~1.3 s serial at 1.6M keys —
+         cheaper than the bloom fetch's parallel work below ~16 local
+         cores.
+       * ``"bloom"`` — cluster-scale fetch, no driver-built relation: the
+         winner aggregate is persisted and counted (exact sizing, one
+         batch scan), a blocked bloom over ``xxhash64(key, winning
+         order)`` is built DISTRIBUTED (per-word ``bit_or``) and attached
+         as a one-row broadcast; the ~one-per-key bloom-positive rows
+         resolve EXACTLY via a shuffle-hash join co-partitioned at
+         ``num_partitions``, which the tie-break window reuses. Driver
+         work is O(bitmap) — the fetch scales with executors — and a bad
+         size estimate can only raise the FP rate, never OOM. Costs
+         ~0.35 µs/row of membership eval over the batch, so it pays off
+         when (batch rows × 0.35 µs) / cores exceeds the ~1.3 s serial
+         build: large clusters, or very large batches. Select per
+         deployment via ``SODES_WINNER_FETCH=bloom``.
+       * ``True`` / ``False`` — force the broadcast (no probe; caller
+         guarantees a bounded key set) or the fully shuffled candidate
+         join (A/B only; prefer ``lww_latest`` when key-heavy).
     3. The existing deterministic tie-break (xxhash64 over the full payload,
        identical column order to ``lww_latest``) picks one row per key among
        the few order-tied candidates; its window exchange doubles as the
@@ -218,28 +208,53 @@ def lww_latest_narrow(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = list(df.columns)
-    if (
-        broadcast_winners == "auto"
-        and keys_bound is not None
-        and keys_bound <= min(WINNER_BCAST_FAST_MAX, broadcast_keys_max)
-    ):
-        # micro-batch fast path: tiny bounded winner set — direct broadcast
-        # beats the bloom's two extra jobs (see WINNER_BCAST_FAST_MAX)
-        broadcast_winners = True
+    if broadcast_winners == "auto":
+        # Default fetch is the broadcast: measured on this box the winner
+        # relation build is ~1.3 s SERIAL at 1.6M keys, while the bloom
+        # fetch's per-row membership eval over the whole batch is ~0.35
+        # µs/row — ~5.6 s of PARALLEL work on a 16M-row batch at 4 cores.
+        # The crossover favors the bloom only past ~16 local cores or on a
+        # real multi-executor cluster (where the driver build is also a
+        # 100-200 MB fanout hot spot) — deployments there opt in with
+        # broadcast_winners="bloom" / SODES_WINNER_FETCH=bloom. Sizing: a
+        # HARD keys_bound under the margin proves the broadcast safe with
+        # no probe job (distinct keys ≤ rows); otherwise a cheap HLL probe
+        # gates it, and past the cap the whole narrow plan is abandoned
+        # for the window kernel (once the winner set can't be broadcast, a
+        # candidate join would shuffle every payload anyway).
+        if keys_bound is not None and keys_bound <= AUTO_BROADCAST_MARGIN * broadcast_keys_max:
+            broadcast_winners = True
+        else:
+            est = df.agg(
+                F.approx_count_distinct(
+                    F.xxhash64(*[F.col(k) for k in keys]), rsd=0.02
+                ).alias("n")
+            ).collect()[0]["n"]
+            if est > AUTO_BROADCAST_MARGIN * broadcast_keys_max:
+                out = lww_latest(
+                    df, keys, order_col, descending=descending,
+                    count_col=count_col, num_partitions=num_partitions,
+                )
+                out._sodes_pinned = None  # API compat: nothing pinned
+                return out
+            broadcast_winners = True
     agg_ord = F.max(order_col) if descending else F.min(order_col)
     winners = df.groupBy(*[F.col(k) for k in keys]).agg(
         agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
     )
     pinned = None
-    if broadcast_winners == "auto":
-        # Exact, free sizing: the bloom fetch needs the winner aggregate
-        # materialized anyway (bitmap build + exact join share it), so
-        # persist it and count() — one batch scan, no separate HLL probe
-        # job (the probe was a second full narrow scan per epoch). The
-        # count also gates the window-kernel fallback EXACTLY instead of
-        # by estimate; and unlike a broadcast hash relation, a bloom can
-        # never OOM from an under-estimate — a too-small bitmap only
-        # raises the false-positive rate, which the exact join absorbs.
+    if broadcast_winners == "bloom":
+        # Cluster-scale fetch: the winner set never becomes a driver-built
+        # broadcast hash relation. (a) persist + count the winner aggregate
+        # — exact sizing off the scan phase 1 needs anyway, and unlike a
+        # broadcast, an under-sized bloom only raises the false-positive
+        # rate, never OOMs; (b) prefilter the batch map-side with a blocked
+        # bloom over xxhash64(key, winning order) built distributively and
+        # attached as a one-row broadcast (O(bitmap) driver work); (c)
+        # resolve exactly with a co-partitioned shuffle-hash join at the
+        # bucket partitioning, which the tie-break window then reuses.
+        # False positives die in the eqNullSafe filter — winners stay
+        # bit-identical to the window kernel.
         winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
         n_keys = winners.count()
         if n_keys > broadcast_keys_max:
@@ -251,19 +266,6 @@ def lww_latest_narrow(
             out._sodes_pinned = None  # API compat: nothing pinned on this path
             return out
         pinned = winners
-        # Bloom fetch (default): the winner set never becomes a driver-built
-        # broadcast hash relation — that build is O(keys) SERIAL driver time
-        # per epoch (~1.3 s at 1.6M keys), the one per-epoch cost that grows
-        # with batch size but not with cores. Instead: (a) prefilter the
-        # batch map-side with a blocked bloom over xxhash64(key, winning
-        # order) built distributively and attached as a one-row broadcast
-        # (O(bitmap) driver work); (b) resolve exactly with a co-partitioned
-        # shuffle-hash join against the winner aggregate at the bucket
-        # partitioning, which the tie-break window then reuses — so the only
-        # wide exchange is still the ~one-row-per-key candidate set, and no
-        # stage does O(keys) work on the driver. False positives only add
-        # rows to the exact join; the eqNullSafe filter keeps winners
-        # bit-identical to the window kernel.
         nwords = bloom_words(n_keys)
         h_win = F.xxhash64(*[F.col(k) for k in keys], F.col("_w_ord"))
         bf = bloom_frame(winners, h_win, nwords)

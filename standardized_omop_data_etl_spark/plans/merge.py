@@ -108,6 +108,17 @@ BROADCAST_KEYS_MAX = int(os.environ.get("SODES_BROADCAST_KEYS_MAX", 4_000_000))
 # spill-friendly sort-merge instead of failing the stage.
 SHUFFLE_HASH_KEYS_MAX = 64_000_000
 
+# Cow key-filter form chooser (keyed() in the rewrite): past
+# DIRECT_BCAST_MAX keys the bloom form is used only when the filtered set
+# is a SMALL fraction of the base — bloom-positives pay a wide-row
+# exchange, so at high touch fractions (bootstrap/backfill epochs that
+# rewrite most rows) exchanging ~the whole base costs more than one serial
+# broadcast build; at the 10^10-regime's routine sliver-touch epochs the
+# bloom exchanges almost nothing and keeps the driver O(bitmap).
+BLOOM_MAX_POSITIVE_FRACTION = float(
+    os.environ.get("SODES_BLOOM_MAX_POSITIVE_FRACTION", 0.25)
+)
+
 
 def _keyed_join_side(df, rows_est: int, bcast_max: int | None = None):
     """Size-tiered join side for a narrow key frame: broadcast under the
@@ -631,15 +642,15 @@ def _lww_winners(
     first and moves only the winners' payloads — same winners bit-exact
     (see ``lww_latest_narrow``), ~events-per-key× fewer wide-shuffle bytes,
     hot keys combine before the exchange so salting is unnecessary. The
-    winners' payloads are fetched with a distributed blocked-bloom prefilter
-    plus a co-partitioned exact join (``broadcast_winners='auto'``) — no
-    driver-built winner broadcast, so the per-epoch serial fraction stays
-    O(bitmap) — size-guarded against ``BROADCAST_KEYS_MAX`` by the winner
-    aggregate's exact count: past the bound the narrow plan is abandoned for
-    the window kernel (once the winners can't be bloom-pruned effectively, a
-    candidate join would shuffle nearly every payload anyway, so the window
-    path's single exchange is the strictly cheaper shape). The kernel pins
-    the winner aggregate; ``unpersist_pinned`` releases it post-scratch.
+    winners' payloads are fetched via the size-guarded broadcast by default
+    (~1.3 s serial build at 1.6M keys — cheaper than the bloom fetch's
+    parallel membership eval below ~16 local cores; see lww_latest_narrow),
+    or via the blocked-bloom fetch (``SODES_WINNER_FETCH=bloom`` — no
+    driver-built relation, O(bitmap) driver work) on large executor counts.
+    Past ``BROADCAST_KEYS_MAX`` keys either fetch abandons the narrow plan
+    for the window kernel (once the winners can't be broadcast, a candidate
+    join would shuffle every payload anyway). The bloom fetch pins the
+    winner aggregate; ``unpersist_pinned`` releases it post-scratch.
 
     ``strategy='prereduced'`` is for batches the caller GUARANTEES hold at
     most one event per key (``densify_sparse_batch`` output): LWW over them
@@ -652,12 +663,12 @@ def _lww_winners(
             src = src.withColumn("_n_events", F.lit(1).cast("long"))
         return src.repartition(num_buckets, F.col(key))
     if strategy == "narrow":
-        # SODES_WINNER_FETCH: campaign A/B escape hatch — "auto" (bloom,
-        # default), "broadcast" (legacy driver-built winner broadcast),
-        # "shuffled" (fully shuffled candidate join).
-        fetch = {"auto": "auto", "broadcast": True, "shuffled": False}[
-            os.environ.get("SODES_WINNER_FETCH", "auto")
-        ]
+        # SODES_WINNER_FETCH: deployment/campaign selector — "auto"
+        # (size-guarded broadcast, the measured local-box default),
+        # "bloom" (no driver-built relation — for large executor counts,
+        # see lww_latest_narrow), "broadcast"/"shuffled" (forced, A/B).
+        fetch = {"auto": "auto", "bloom": "bloom", "broadcast": True,
+                 "shuffled": False}[os.environ.get("SODES_WINNER_FETCH", "auto")]
         return lww_latest_narrow(
             batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets,
             broadcast_winners=fetch, broadcast_keys_max=BROADCAST_KEYS_MAX,
@@ -1051,31 +1062,46 @@ def _merge_into_locked(
         bytes_written = 0
         if changed:
 
-            def keyed(action_filter, count: int, base: DataFrame, how: str) -> DataFrame:
-                # Size-tiered EXACT key filter. ≤DIRECT_BCAST_MAX: broadcast
-                # (a tiny relation builds faster than a bitmap job). Past it:
-                # bloom-prefiltered semi/anti (operators.bloom) — no O(keys)
-                # driver build, and because the exact join co-partitions at
-                # num_buckets — repartition's Murmur3-pmod IS bucket_expr —
-                # every output partition stays bucket-pure, so the write
-                # still needs no re-cluster exchange (the old fallback
-                # re-shuffled the ENTIRE rewrite output past the broadcast
-                # cap).
+            def keyed(action_filter, count: int, base: DataFrame, how: str,
+                      base_rows: int) -> DataFrame:
+                # Size-tiered EXACT key filter, cost-based on the TOUCH
+                # FRACTION (count / base rows — both already known from the
+                # probe stats and the manifest, no sizing job):
+                #   * ≤DIRECT_BCAST_MAX keys: broadcast — a tiny relation
+                #     builds faster than a bitmap job.
+                #   * large key set BUT a large fraction of the base (the
+                #     bootstrap/backfill shape): broadcast up to the 4M cap —
+                #     the bloom form would exchange most of the base's WIDE
+                #     rows, which costs more than one serial relation build.
+                #   * large key set, small fraction (the 10^10-regime routine
+                #     epoch: millions of keys touching a sliver of the
+                #     table): bloom_semi/bloom_anti (operators.bloom) — no
+                #     O(keys) driver build, bloom-negatives stream exchange-
+                #     free, and the exact join's num_buckets partitioning IS
+                #     the bucket layout, so the write needs no re-cluster
+                #     (the old fallback re-shuffled the ENTIRE rewrite output
+                #     past the broadcast cap).
                 ks = resolved.filter(action_filter).select(key)
-                if count <= DIRECT_BCAST_MAX:
+                if count <= DIRECT_BCAST_MAX or (
+                    count <= BROADCAST_KEYS_MAX
+                    and count >= BLOOM_MAX_POSITIVE_FRACTION * max(base_rows, 1)
+                ):
                     return base.join(F.broadcast(ks), on=key, how=how)
                 fn = bloom_anti if how == "left_anti" else bloom_semi
                 return fn(base, ks, key, count, num_buckets)
 
+            src_rows = n_applied + n_stale
             if n_stale == 0:
                 applied_rows = srcr  # nothing to drop: every LWW winner applies
             elif n_stale <= n_applied:
                 # anti on the smaller (stale) set: above DIRECT_BCAST_MAX the
                 # bloom form exchanges only ~that set's rows, so always
                 # filter by the side that moves less
-                applied_rows = keyed(F.col("_action") == "stale", n_stale, srcr, "left_anti")
+                applied_rows = keyed(F.col("_action") == "stale", n_stale, srcr,
+                                     "left_anti", src_rows)
             else:
-                applied_rows = keyed(F.col("_action") != "stale", n_applied, srcr, "left_semi")
+                applied_rows = keyed(F.col("_action") != "stale", n_applied, srcr,
+                                     "left_semi", src_rows)
             src_lineage = F.concat_ws(
                 " | ",
                 F.lit(source_name),
@@ -1099,6 +1125,7 @@ def _merge_into_locked(
                     n_replaced,
                     tgt,
                     "left_anti",
+                    sum(prev_keys.get(b, 0) for b in changed),
                 )
             surviving = surviving_rows.select(
                 *[F.col(f.name) for f in evolved.fields],

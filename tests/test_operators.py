@@ -525,14 +525,14 @@ def test_lww_narrow_null_order_parity(spark):
         assert win == nar, f"descending={desc}: {win} != {nar}"
 
 
-def test_lww_narrow_bloom_fetch_no_driver_relation(spark, monkeypatch):
-    """The auto (bloom) fetch must never build a driver-side winner hash
-    relation OR run a separate HLL sizing probe: sizing comes from the
-    persisted winner aggregate's exact count, the bitmap rides in as a
-    one-row broadcast (BroadcastNestedLoopJoin), and the exact candidate
-    join is a shuffled hash join — no BroadcastHashJoin anywhere. Past
-    ``broadcast_keys_max`` (exact count) the kernel abandons the narrow
-    plan for the window kernel, same winners."""
+def test_lww_narrow_fetch_paths(spark, monkeypatch):
+    """The three winner-fetch paths agree bit-exactly with the window
+    kernel. auto: a HARD keys_bound under the margin broadcasts with NO
+    HLL probe job (one fewer batch scan per epoch). bloom: never builds a
+    driver-side winner relation — the bitmap rides in as a one-row
+    broadcast (BroadcastNestedLoopJoin) and the exact candidate join is a
+    shuffled hash join, no BroadcastHashJoin anywhere. Past the cap both
+    abandon the narrow plan for the window kernel."""
     import standardized_omop_data_etl_spark.operators.lww as lww
 
     df = spark.createDataFrame(
@@ -547,26 +547,35 @@ def test_lww_narrow_bloom_fetch_no_driver_relation(spark, monkeypatch):
         return real(*a, **kw)
 
     monkeypatch.setattr(lww.F, "approx_count_distinct", counting)
-
-    out = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n")
-    plan = _physical_plan(out)
-    assert probes["n"] == 0, "bloom fetch must not run an HLL probe job"
-    assert "BroadcastHashJoin" not in plan, "winner set must not be a driver-built relation"
-    assert "BroadcastNestedLoopJoin" in plan  # the one-row bitmap attach
-    assert "ShuffledHashJoin" in plan  # the exact candidate join
-    got = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out.collect()}
-    lww.unpersist_pinned(out)
     exp = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in
            lww_latest(df, "k", "lsn", count_col="_n").collect()}
+
+    # auto + hard bound: broadcast fetch, no probe job
+    out = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n", keys_bound=100)
+    assert probes["n"] == 0, "sub-margin keys_bound must skip the HLL probe"
+    assert "BroadcastExchange" in _physical_plan(out)
+    got = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out.collect()}
     assert got == exp
 
-    # past the cap (exact count 50 > 10): abandoned for the window kernel,
-    # same winners, and no candidate-join machinery in the plan
-    out2 = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n", broadcast_keys_max=10)
-    plan2 = _physical_plan(out2)
-    assert "ShuffledHashJoin" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
-    got2 = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out2.collect()}
-    assert got2 == exp
+    # bloom fetch: no driver-built winner relation, exact join shuffled
+    outb = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n",
+                                 broadcast_winners="bloom")
+    planb = _physical_plan(outb)
+    assert "BroadcastHashJoin" not in planb, "winner set must not be a driver relation"
+    assert "BroadcastNestedLoopJoin" in planb  # the one-row bitmap attach
+    assert "ShuffledHashJoin" in planb  # the exact candidate join
+    gotb = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in outb.collect()}
+    lww.unpersist_pinned(outb)
+    assert gotb == exp
+
+    # past the cap: abandoned for the window kernel on both paths
+    for kw in ({"broadcast_winners": "auto"}, {"broadcast_winners": "bloom"}):
+        out2 = lww.lww_latest_narrow(df, "k", "lsn", count_col="_n",
+                                     broadcast_keys_max=10, **kw)
+        plan2 = _physical_plan(out2)
+        assert "ShuffledHashJoin" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
+        got2 = {r["k"]: (r["lsn"], r["v"], r["_n"]) for r in out2.collect()}
+        assert got2 == exp
 
 
 def test_bloom_semi_anti_exact(spark):

@@ -521,15 +521,19 @@ def test_high_bucket_count_replay_matches_oracle(spark, tmp_path, fixtures):
 
 
 def test_forced_bloom_filters_replay_bit_exact(spark, tmp_path, fixtures, monkeypatch):
-    """With DIRECT_BCAST_MAX forced to 0, every cow key filter and the
-    metrics probe take the bloom / shuffle-hash paths (no driver-built
-    relation anywhere) — final state must stay bit-exact vs the pandas
-    oracle in both modes."""
+    """With DIRECT_BCAST_MAX forced to 0 (and the fraction escape disabled),
+    every cow key filter and the metrics probe take the bloom /
+    shuffle-hash paths, and SODES_WINNER_FETCH=bloom forces the narrow
+    kernel's bloom winner fetch — no driver-built relation anywhere in the
+    epoch. Final state must stay bit-exact vs the pandas oracle in both
+    modes."""
     import standardized_omop_data_etl_spark.plans.merge as M
 
     base, log, base_pdf, log_pdf = fixtures
     monkeypatch.setattr(M, "DIRECT_BCAST_MAX", 0)
+    monkeypatch.setattr(M, "BLOOM_MAX_POSITIVE_FRACTION", float("inf"))
+    monkeypatch.setenv("SODES_WINNER_FETCH", "bloom")
     for mode in ("cow", "mor"):
         tbl = make_table(spark, tmp_path, base, f"tbloomf_{mode}")
-        replay_log(tbl, log, num_epochs=3, mode=mode)
+        replay_log(tbl, log, num_epochs=3, mode=mode, lww_strategy="narrow")
         assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
