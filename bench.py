@@ -53,8 +53,17 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
-    # warm-up: JVM/codegen + page cache for the input files
-    qs["cdc_lww_state"](spark, sf_dir).count()
+    # Session warm-up: one UNTIMED execution of every headline query. r4's
+    # min-of-2 hid a ~2x first-rep penalty (per-query codegen compile +
+    # input page-cache faults) that contaminated the driver total on a
+    # loaded host; warming each query's plan first makes BOTH timed reps
+    # representative (target: reps within ~20% on non-replay queries).
+    # Warm-up wall time is recorded in provenance for transparency.
+    warmup: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        warmup[name] = round(time.time() - t0, 3)
 
     # min-of-2 per query: this sandbox's shared host has measured 3x noise
     # spells; the min of two back-to-back runs is a far better estimate of
@@ -70,6 +79,7 @@ def main() -> None:
         timings[name] = min(samples[name])
 
     # Replay throughput (north-rule metric): synthetic log at sf-scaled size.
+    from standardized_omop_data_etl_spark.plans.maintenance import compact_buckets
     from standardized_omop_data_etl_spark.plans.replay import replay_log
     from standardized_omop_data_etl_spark.sources.generators import (
         base_sequences,
@@ -83,6 +93,26 @@ def main() -> None:
     base = base_sequences(spark, n_docs, seed=42, max_len=64)
     log = change_log(spark, n_events, n_docs, seed=42, max_len=64).persist()
     log.count()  # materialize generation outside the timed window
+
+    # replay-path warm-up: a throwaway mini-replay (cow + mor + compaction)
+    # compiles the MERGE machinery's plans so the timed reps below measure
+    # steady-state dataflow, not first-query codegen (same rationale as the
+    # per-query warm-up above; replay_bench.py has done this since r2).
+    t0 = time.time()
+    warm_dir = workdir + "_warm"
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    wtbl = LakeTable.create(spark, warm_dir, schema=base.schema, key_col="doc_id",
+                            num_buckets=8, overwrite=True)
+    wtbl.overwrite_full(base.limit(10_000))
+    replay_log(wtbl, log.limit(50_000), num_epochs=1, epoch_prefix="warmc")
+    replay_log(wtbl, log.limit(50_000), num_epochs=1, mode="mor",
+               epoch_prefix="warmm")
+    replay_log(wtbl, log.limit(50_000), num_epochs=1, sparse_updates=True,
+               epoch_prefix="warms")
+    compact_buckets(wtbl, max_files_per_bucket=1)
+    shutil.rmtree(warm_dir, ignore_errors=True)
+    warmup["replay_paths"] = round(time.time() - t0, 3)
+
     replay_sec = None
     for _rep in range(2):  # min-of-2, same as the per-query timings
         shutil.rmtree(workdir, ignore_errors=True)
@@ -104,8 +134,6 @@ def main() -> None:
     # merge-on-read replay: same log, append-only delta path (O(batch) write
     # cost per epoch) + one materializing compaction at the end, so the
     # number covers the full mor cost story, not just the cheap appends.
-    from standardized_omop_data_etl_spark.plans.maintenance import compact_buckets
-
     mor_sec = None
     for _rep in range(2):
         shutil.rmtree(workdir, ignore_errors=True)
@@ -197,6 +225,7 @@ def main() -> None:
                     "host_cpus": os.cpu_count(),
                     "reps_per_query": 2,
                     "aggregation": "min",
+                    "warmup_sec": warmup,  # untimed first pass (codegen/cache)
                     "samples": samples,
                 },
             }

@@ -66,6 +66,13 @@ def run_once(cores: int, events: int, docs: int, epochs: int, workdir: str,
         "--conf", "spark.local.dir=/dev/shm/sparklocal",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.sql.shuffle.partitions={cores * 2}",
+        # File scans target ≥64 splits (= num_buckets) at EVERY parallelism
+        # level: without this, FilePartition packs the ~64-file scratch/
+        # narrow scans into `defaultParallelism` splits (4 tasks at 4 cores)
+        # whose uneven sizes leave a 1-4 s max-task straggler tail per stage
+        # — the r04l eventLog decomposition's second-largest serial term.
+        # Same value at both legs keeps the N vs 4N comparison honest.
+        "--conf", "spark.sql.files.minPartitionNum=64",
         "--py-files", ZIP,
         os.path.join(REPO, "bench", "replay_bench.py"),
         "--events", str(events), "--docs", str(docs), "--epochs", str(epochs),

@@ -41,7 +41,9 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 # Key sets at or under this many rows are still broadcast directly: a small
 # hash relation builds in well under 100 ms, cheaper than the bloom's extra
-# bitmap job on a micro-batch. Env-tunable for campaign A/Bs.
+# bitmap job on a micro-batch. Env-tunable for campaign A/Bs
+# (SODES_DIRECT_BCAST_MAX, read at CALL time by plans.merge._dbm — an export
+# mid-session takes effect on the next epoch; this is the no-env fallback).
 DIRECT_BCAST_MAX = int(os.environ.get("SODES_DIRECT_BCAST_MAX", 512_000))
 
 BLOOM_BITS_PER_KEY = 16
@@ -107,6 +109,20 @@ def bloom_member(bf_col: Column, hash_col: Column, nwords: int) -> Column:
 
 def _split_by_bloom(base: DataFrame, keys_df: DataFrame, key: str,
                     n_keys: int) -> tuple[DataFrame, DataFrame]:
+    """Split ``base`` into (bloom-positive, bloom-negative) frames.
+
+    Deliberate trade-off: the two returned frames are two filters over the
+    same uncached lineage, so a consumer that uses BOTH (``bloom_anti``)
+    scans ``base`` twice and evaluates the membership expression twice.
+    That is the cheaper side of the bargain on the cow-rewrite path where
+    this runs: ``base`` there is a column-complete scan of bucket-clustered
+    LOCAL parquet (~GB/s, no exchange), while the alternatives each cost
+    more — persisting the tagged frame materializes array-bearing wide rows
+    through the block manager (measured ~10× a parquet re-scan,
+    plans/merge.py scratch-spill note), and a single-pass split would have
+    to exchange the bloom-negatives, which is exactly what the bloom form
+    exists to avoid. ``bloom_semi`` consumes only the positive frame, so it
+    pays one scan."""
     h = F.xxhash64(F.col(key))
     nwords = bloom_words(n_keys)
     bf = bloom_frame(keys_df.select(key), h, nwords)

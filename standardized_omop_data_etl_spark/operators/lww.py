@@ -36,7 +36,10 @@ from pyspark.storagelevel import StorageLevel
 # prefilter (bloom bitmap ≤ ~8 MB); larger sets fall back to the window
 # kernel (see lww_latest_narrow's broadcast_winners='auto'). Same contract
 # (and default value) as plans.merge.BROADCAST_KEYS_MAX. Env-tunable for
-# campaign A/Bs (SODES_BROADCAST_KEYS_MAX).
+# campaign A/Bs (SODES_BROADCAST_KEYS_MAX) — read at CALL time in
+# lww_latest_narrow (same contract as every other SODES_* knob), so an
+# export mid-session takes effect on the next call; this module constant
+# is the no-env fallback.
 BROADCAST_KEYS_MAX = int(os.environ.get("SODES_BROADCAST_KEYS_MAX", 4_000_000))
 
 
@@ -149,7 +152,7 @@ def lww_latest_narrow(
     count_col: str | None = None,
     num_partitions: int | None = None,
     broadcast_winners: bool | str = "auto",
-    broadcast_keys_max: int = BROADCAST_KEYS_MAX,
+    broadcast_keys_max: int | None = None,
     keys_bound: int | None = None,
 ) -> DataFrame:
     """Two-phase narrow-max LWW: bit-identical winners to ``lww_latest``,
@@ -208,6 +211,9 @@ def lww_latest_narrow(
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     payload_cols = list(df.columns)
+    if broadcast_keys_max is None:  # call-time knob read; module attr fallback
+        env = os.environ.get("SODES_BROADCAST_KEYS_MAX")
+        broadcast_keys_max = int(env) if env is not None else BROADCAST_KEYS_MAX
     if broadcast_winners == "auto":
         # Default fetch is the broadcast: measured on this box the winner
         # relation build is ~1.3 s SERIAL at 1.6M keys, while the bloom

@@ -50,7 +50,7 @@ import pyspark.sql.functions as F
 import pyspark.sql.types as T
 
 from ..sources.lake import DELETED_COL, LINEAGE_COL, LSN_COL, LakeTable
-from .merge import _ACTIONS, BROADCAST_KEYS_MAX, SHUFFLE_HASH_KEYS_MAX
+from .merge import _ACTIONS, BROADCAST_KEYS_MAX, SHUFFLE_HASH_KEYS_MAX, _knob
 
 # Version ops whose commits add no data files (safe inside a pruned range).
 _METADATA_ONLY_OPS = {"alter"}
@@ -242,7 +242,8 @@ def read_changes(
         before_est = sum(int(c) for c in key_counts.values())
     else:
         before_est = sum(int(key_counts.get(str(b), 0)) for b in buckets)
-    cap = BROADCAST_KEYS_MAX // 16 if include_before else BROADCAST_KEYS_MAX
+    bkm = _knob("SODES_BROADCAST_KEYS_MAX", BROADCAST_KEYS_MAX)
+    cap = bkm // 16 if include_before else bkm
     ck = None
     if before_est > cap and not allow_gc:
         bound = _mor_range_winner_bound(table, from_version, to_version)

@@ -120,6 +120,23 @@ BLOOM_MAX_POSITIVE_FRACTION = float(
 )
 
 
+def _knob(env: str, fallback):
+    """SODES_* knobs are read at CALL time, not import time, so a campaign
+    A/B that exports one mid-session takes effect on the next epoch — the
+    same contract as SODES_WINNER_FETCH. The module constant (monkeypatched
+    by tests) is the no-env fallback."""
+    v = os.environ.get(env)
+    return type(fallback)(v) if v is not None else fallback
+
+
+def _bkm() -> int:
+    return _knob("SODES_BROADCAST_KEYS_MAX", BROADCAST_KEYS_MAX)
+
+
+def _dbm() -> int:
+    return _knob("SODES_DIRECT_BCAST_MAX", DIRECT_BCAST_MAX)
+
+
 def _keyed_join_side(df, rows_est: int, bcast_max: int | None = None):
     """Size-tiered join side for a narrow key frame: broadcast under the
     broadcast cap, explicit shuffle-hash under the hash-build cap, unhinted
@@ -128,7 +145,7 @@ def _keyed_join_side(df, rows_est: int, bcast_max: int | None = None):
     driver time, so past ~512k keys the fully parallel shuffle-hash exchange
     of two narrow frames is both faster at scale and executor-count-
     proportional — the broadcast's only win is on genuinely small sides."""
-    if rows_est <= (BROADCAST_KEYS_MAX if bcast_max is None else bcast_max):
+    if rows_est <= (_bkm() if bcast_max is None else bcast_max):
         return F.broadcast(df)
     if rows_est <= SHUFFLE_HASH_KEYS_MAX:
         return df.hint("shuffle_hash")
@@ -150,9 +167,9 @@ def _probe_target_side(table, touched, src_keys, tgt_rows_est, batch_rows_bound)
     10^10-row regime's routine micro-batches."""
     key = table.key_col
     prune = (
-        tgt_rows_est > BROADCAST_KEYS_MAX
+        tgt_rows_est > _bkm()
         and batch_rows_bound is not None
-        and batch_rows_bound <= BROADCAST_KEYS_MAX
+        and batch_rows_bound <= _bkm()
     )
     tgt_keys = table.read(
         buckets=touched, include_hidden=True, columns=[key, LSN_COL, DELETED_COL],
@@ -163,9 +180,9 @@ def _probe_target_side(table, touched, src_keys, tgt_rows_est, batch_rows_bound)
         # bound is genuinely small — a multi-M-row relation build is serial
         # driver time (see _keyed_join_side)
         return _keyed_join_side(
-            tgt_keys, min(batch_rows_bound, tgt_rows_est), bcast_max=DIRECT_BCAST_MAX
+            tgt_keys, min(batch_rows_bound, tgt_rows_est), bcast_max=_dbm()
         )
-    return _keyed_join_side(tgt_keys, tgt_rows_est, bcast_max=DIRECT_BCAST_MAX)
+    return _keyed_join_side(tgt_keys, tgt_rows_est, bcast_max=_dbm())
 
 
 
@@ -188,6 +205,34 @@ AUTO_MOR_REWRITE_AMPLIFICATION = 0.5
 # resident rows, routine micro-batches are always small relative to the
 # table, so auto picks mor on table size alone.
 AUTO_MOR_TABLE_ROWS_MIN = 10_000_000
+
+# Winner-fetch auto-routing (narrow kernel): the broadcast fetch costs an
+# O(keys) SERIAL driver relation build (~0.8 µs/key — 1.3 s at 1.6M keys);
+# the bloom fetch replaces it with O(bitmap) driver work but pays a
+# parallel ~0.35 µs/row membership eval over the whole batch plus two
+# extra jobs (winner persist+count, bitmap build). Measured crossover
+# (BENCH/BASELINE.md r04l): bloom wins past ~16 local cores — on a real
+# multi-executor cluster the broadcast is additionally a 100-200 MB
+# driver fanout — and only when the epoch is big enough that the saved
+# serial build outweighs the two extra jobs' scheduling gaps:
+BLOOM_FETCH_MIN_CORES = 16
+BLOOM_FETCH_MIN_ROWS = 4_000_000
+
+
+def resolve_winner_fetch(batch_rows_est: int | None, parallelism: int) -> str:
+    """Pick the narrow kernel's winner fetch ('auto' = size-guarded
+    broadcast, 'bloom' = distributed-bitmap prefilter) from the cluster
+    width and the epoch's row bound. Unknown batch size → broadcast: the
+    HLL-guarded broadcast is safe at any size, while the bloom's two extra
+    jobs only pay for themselves on provably large epochs."""
+    if (
+        parallelism >= _knob("SODES_BLOOM_MIN_CORES", BLOOM_FETCH_MIN_CORES)
+        and batch_rows_est is not None
+        and batch_rows_est >= _knob("SODES_BLOOM_MIN_ROWS", BLOOM_FETCH_MIN_ROWS)
+    ):
+        return "bloom"
+    return "auto"
+
 
 # lww_strategy="auto" crossover: the narrow kernel (winners-only wide
 # exchange) pays ~4 extra stages + an HLL probe per epoch; its payoff — not
@@ -395,14 +440,14 @@ def densify_sparse_batch(
 
     fill = folded.filter(~F.col("_is_del") & F.col("_img").isNull())
     resident_cols = [c for c in payload if c in {f.name for f in table.schema().fields}]
-    bounded = batch_rows_bound is not None and batch_rows_bound <= BROADCAST_KEYS_MAX
+    bounded = batch_rows_bound is not None and batch_rows_bound <= _bkm()
     resident = table.read(
         columns=[key] + resident_cols,
         key_filter=fill.select(key) if bounded else None,
     ).select(key, *[F.col(c).alias(f"_r_{c}") for c in resident_cols])
     resident = (
         F.broadcast(resident) if bounded
-        else _keyed_join_side(resident, BROADCAST_KEYS_MAX + 1)
+        else _keyed_join_side(resident, _bkm() + 1)
     )
     filled = fill.join(resident, key, "inner").select(
         *out_cols,
@@ -463,13 +508,13 @@ def densify_sparse_stats(
         .withColumn("_needs_fill", ~F.col("_is_del") & F.col("_bf").isNull())
     )
     fill_keys = skel.filter(F.col("_needs_fill")).select(key)
-    bounded = batch_rows_bound is not None and batch_rows_bound <= BROADCAST_KEYS_MAX
+    bounded = batch_rows_bound is not None and batch_rows_bound <= _bkm()
     resident = table.read(
         columns=[key], key_filter=fill_keys if bounded else None
     ).select(key)
     resident = (
         F.broadcast(resident) if bounded
-        else _keyed_join_side(resident, BROADCAST_KEYS_MAX + 1)
+        else _keyed_join_side(resident, _bkm() + 1)
     )
     matched = fill_keys.join(resident, key, "left_semi")
     return (
@@ -664,14 +709,28 @@ def _lww_winners(
         return src.repartition(num_buckets, F.col(key))
     if strategy == "narrow":
         # SODES_WINNER_FETCH: deployment/campaign selector — "auto"
-        # (size-guarded broadcast, the measured local-box default),
-        # "bloom" (no driver-built relation — for large executor counts,
-        # see lww_latest_narrow), "broadcast"/"shuffled" (forced, A/B).
-        fetch = {"auto": "auto", "bloom": "bloom", "broadcast": True,
-                 "shuffled": False}[os.environ.get("SODES_WINNER_FETCH", "auto")]
+        # (cost-based routing: resolve_winner_fetch picks bloom on wide
+        # clusters × large epochs, size-guarded broadcast otherwise),
+        # "bloom" / "broadcast" / "shuffled" (forced, A/B).
+        fetch_env = os.environ.get("SODES_WINNER_FETCH", "auto")
+        try:
+            fetch = {"auto": "auto", "bloom": "bloom", "broadcast": True,
+                     "shuffled": False}[fetch_env]
+        except KeyError:
+            # validated BEFORE any work: a typo'd campaign knob must fail
+            # loud and early, not as a bare KeyError mid-merge under the
+            # writer lease
+            raise ValueError(
+                f"SODES_WINNER_FETCH={fetch_env!r}: expected one of "
+                "'auto', 'bloom', 'broadcast', 'shuffled'"
+            ) from None
+        if fetch == "auto":
+            fetch = resolve_winner_fetch(
+                rows_bound, batch.sparkSession.sparkContext.defaultParallelism
+            )
         return lww_latest_narrow(
             batch, key, lsn_col, count_col="_n_events", num_partitions=num_buckets,
-            broadcast_winners=fetch, broadcast_keys_max=BROADCAST_KEYS_MAX,
+            broadcast_winners=fetch, broadcast_keys_max=_bkm(),
             keys_bound=rows_bound,
         )
     src = lww_latest(
@@ -1082,9 +1141,12 @@ def _merge_into_locked(
                 #     (the old fallback re-shuffled the ENTIRE rewrite output
                 #     past the broadcast cap).
                 ks = resolved.filter(action_filter).select(key)
-                if count <= DIRECT_BCAST_MAX or (
-                    count <= BROADCAST_KEYS_MAX
-                    and count >= BLOOM_MAX_POSITIVE_FRACTION * max(base_rows, 1)
+                if count <= _dbm() or (
+                    count <= _bkm()
+                    and count >= _knob(
+                        "SODES_BLOOM_MAX_POSITIVE_FRACTION",
+                        BLOOM_MAX_POSITIVE_FRACTION,
+                    ) * max(base_rows, 1)
                 ):
                     return base.join(F.broadcast(ks), on=key, how=how)
                 fn = bloom_anti if how == "left_anti" else bloom_semi

@@ -37,6 +37,14 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     conf = {
         "spark.sql.shuffle.partitions": str(shuffle_partitions or max(cpus, 8)),
+        # File scans target ≥2×cores splits even when FilePartition's 128 MB
+        # packing would produce fewer: a replay epoch's scratch / narrow /
+        # changed-bucket scans are ~64 medium files, and packing them into
+        # `defaultParallelism` uneven splits leaves a one-wave stage whose
+        # max-task straggler tail is pure serial time (r04l eventLog
+        # decomposition). More, smaller splits pack the waves evenly; at
+        # real-cluster file sizes the 128 MB cap still governs.
+        "spark.sql.files.minPartitionNum": str(max(2 * cpus, 64)),
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",

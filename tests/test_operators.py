@@ -507,8 +507,14 @@ def test_lww_narrow_auto_broadcasts_small_key_sets(spark):
 def test_lww_narrow_null_order_parity(spark):
     """NULL order values: narrow (F.min/F.max skip NULLs) and window
     (asc_nulls_last / desc) must pick identical winners in BOTH directions,
-    including a key whose order values are all NULL."""
-    from standardized_omop_data_etl_spark.operators.lww import lww_latest_narrow
+    including a key whose order values are all NULL. The bloom fetch is in
+    the matrix because its candidate prefilter hashes (key, winning order)
+    with xxhash64 — which SKIPS null inputs — so an all-NULL-order key's
+    winner must still survive the bitmap + eqNullSafe resolution."""
+    from standardized_omop_data_etl_spark.operators.lww import (
+        lww_latest_narrow,
+        unpersist_pinned,
+    )
 
     df = spark.createDataFrame(
         [("a", 5, "a5"), ("a", None, "aN"), ("a", 1, "a1"),
@@ -519,10 +525,12 @@ def test_lww_narrow_null_order_parity(spark):
     for desc in (True, False):
         win = {(r["k"], r["lsn"], r["v"])
                for r in lww_latest(df, "k", "lsn", descending=desc).collect()}
-        nar = {(r["k"], r["lsn"], r["v"])
-               for r in lww_latest_narrow(df, "k", "lsn", descending=desc,
-                                          broadcast_winners=True).collect()}
-        assert win == nar, f"descending={desc}: {win} != {nar}"
+        for fetch in (True, "bloom"):
+            out = lww_latest_narrow(df, "k", "lsn", descending=desc,
+                                    broadcast_winners=fetch)
+            nar = {(r["k"], r["lsn"], r["v"]) for r in out.collect()}
+            unpersist_pinned(out)
+            assert win == nar, f"descending={desc} fetch={fetch}: {win} != {nar}"
 
 
 def test_lww_narrow_fetch_paths(spark, monkeypatch):

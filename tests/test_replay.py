@@ -333,6 +333,57 @@ def test_forced_shuffle_keysets_match_oracle(spark, tmp_path, fixtures, monkeypa
     assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
 
 
+def test_winner_fetch_auto_routing(spark, tmp_path, fixtures, monkeypatch):
+    """SODES_WINNER_FETCH=auto now routes cost-based (r4 left it env-gated):
+    bloom on wide clusters × provably large epochs, size-guarded broadcast
+    otherwise. The rule is pure (testable without mocking a live
+    SparkContext), the knobs are call-time, and when the crossover is forced
+    under the live session the bloom fetch actually runs end-to-end and the
+    final state stays bit-exact vs the pandas oracle."""
+    import standardized_omop_data_etl_spark.plans.merge as M
+
+    # the routing rule flips on core count and on batch size
+    assert M.resolve_winner_fetch(16_000_000, 4) == "auto"    # narrow cluster
+    assert M.resolve_winner_fetch(16_000_000, 16) == "bloom"  # crossover
+    assert M.resolve_winner_fetch(16_000_000, 64) == "bloom"
+    assert M.resolve_winner_fetch(1_000_000, 32) == "auto"    # epoch too small
+    assert M.resolve_winner_fetch(None, 64) == "auto"         # unknown size
+    # call-time env knobs move the crossover without re-import
+    monkeypatch.setenv("SODES_BLOOM_MIN_CORES", "2")
+    monkeypatch.setenv("SODES_BLOOM_MIN_ROWS", "100")
+    assert M.resolve_winner_fetch(200, 2) == "bloom"
+    monkeypatch.delenv("SODES_BLOOM_MIN_CORES")
+    monkeypatch.delenv("SODES_BLOOM_MIN_ROWS")
+
+    # end-to-end: force the crossover under the live session and observe the
+    # fetch _lww_winners actually selects, replaying the full fixture log
+    base, log, base_pdf, log_pdf = fixtures
+    seen: list[object] = []
+    real = M.lww_latest_narrow
+
+    def spying(*a, **kw):
+        seen.append(kw.get("broadcast_winners"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(M, "lww_latest_narrow", spying)
+    monkeypatch.setenv("SODES_BLOOM_MIN_CORES", "1")
+    monkeypatch.setenv("SODES_BLOOM_MIN_ROWS", "1")
+    tbl = make_table(spark, tmp_path, base, "troute")
+    replay_log(tbl, log, num_epochs=2, lww_strategy="narrow",
+               lsn_range=(0, N_EVENTS - 1))
+    assert seen and all(f == "bloom" for f in seen), seen
+    assert_state_equals(tbl, expected_final_state(base_pdf, log_pdf))
+
+    # below the crossover the same call path picks the guarded broadcast
+    seen.clear()
+    monkeypatch.setenv("SODES_BLOOM_MIN_CORES", "9999")
+    tbl2 = make_table(spark, tmp_path, base, "troute2")
+    replay_log(tbl2, log, num_epochs=2, lww_strategy="narrow",
+               lsn_range=(0, N_EVENTS - 1))
+    assert seen and all(f == "auto" for f in seen), seen
+    assert_state_equals(tbl2, expected_final_state(base_pdf, log_pdf))
+
+
 def test_stale_dominant_epoch_anti_path(spark, tmp_path, fixtures):
     """Re-sending an already-applied log under a NEW epoch name makes every
     winner stale — the write phase takes the stale-complement path and the
