@@ -969,6 +969,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("mv_sum_value"), 2).alias("sum_value"),
         )
 
+    def q_cdc_mv_minmax(spark, sf):
+        # min/max materialized view maintained by TOUCHED-GROUP recompute
+        # (plans/mv.py strategy="group_recompute"): min/max are not
+        # delta-maintainable under deletes — epoch 2's 'error' deletes
+        # remove rows that may hold a group's current extremum, and the
+        # refresh re-aggregates exactly the groups the feed names (broadcast
+        # semi-join on the base scan). The refreshed view must equal a
+        # direct SQL MIN/MAX over the final LWW state.
+        from standardized_omop_data_etl_spark.plans.merge import merge_into
+        from standardized_omop_data_etl_spark.plans.mv import (
+            COUNT_COL,
+            materialize_view,
+            refresh_view,
+        )
+        from standardized_omop_data_etl_spark.sources.lake import LakeTable
+
+        ev = _t(spark, sf, "events")
+        batch = ev.select(
+            F.col("event_id").alias("lsn"),
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        payload = batch.drop("lsn", "op").schema
+        tbl = LakeTable.create(
+            spark, "/tmp/q_cdc_mvmm_tbl", schema=payload, key_col="user_id",
+            num_buckets=8, overwrite=True,
+        )
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 1), epoch="odd")
+        view, consumer = materialize_view(
+            spark, "/tmp/q_cdc_mvmm_view", tbl, ["event_type"], ["value"],
+            name="qmm", min_cols=["value"], max_cols=["value"],
+        )
+        merge_into(tbl, batch.filter(F.pmod("lsn", F.lit(2)) == 0), epoch="even")
+        refresh_view(view, consumer, ["event_type"], ["value"],
+                     strategy="group_recompute",
+                     min_cols=["value"], max_cols=["value"])
+        return view.read().select(
+            "event_type",
+            F.col(COUNT_COL).alias("n_rows"),
+            F.round(F.col("mv_min_value"), 2).alias("min_value"),
+            F.round(F.col("mv_max_value"), 2).alias("max_value"),
+        )
+
     return {
         "cdc_lww_state": q_cdc_lww_state,
         "cdc_lww_narrow": q_cdc_lww_narrow,
@@ -978,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sparse_stats": q_cdc_sparse_stats,
         "cdc_change_feed": q_cdc_change_feed,
         "cdc_mv_refresh": q_cdc_mv_refresh,
+        "cdc_mv_minmax": q_cdc_mv_minmax,
         "priority_dedup": q_priority_dedup,
         "minmax_periods": q_minmax_periods,
         "anti_join_delete": q_anti_join_delete,
@@ -1169,6 +1217,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(COUNT(*) AS BIGINT) AS n_rows,
                    ROUND(CAST(SUM(value) AS DOUBLE), 2) AS sum_value
+            FROM state GROUP BY event_type
+        """,
+        "cdc_mv_minmax": """
+            WITH w AS (
+              SELECT user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn
+              FROM events),
+            state AS (
+              SELECT user_id, event_type, value FROM w
+              WHERE rn = 1 AND event_type <> 'error')
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(CAST(MIN(value) AS DOUBLE), 2) AS min_value,
+                   ROUND(CAST(MAX(value) AS DOUBLE), 2) AS max_value
             FROM state GROUP BY event_type
         """,
         "priority_dedup": """

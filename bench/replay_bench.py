@@ -98,7 +98,8 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     replay_log(tbl, log.filter(F.col("lsn") < 50_000), num_epochs=1,
-               epoch_prefix="warm", mode=args.mode, lww_strategy=args.lww)
+               epoch_prefix="warm", mode=args.mode, lww_strategy=args.lww,
+               lsn_range=(0, 49_999))
 
     t1 = time.time()
     policy = None

@@ -138,9 +138,13 @@ def lww_latest(
 # rows to the exact candidate join, never wrong winners.
 from .bloom import bloom_frame, bloom_member, bloom_words
 
-# The auto probe is an HLL estimate (rsd=0.02), not an exact count: only
-# broadcast when the estimate clears the bound with room for the error, so
-# an undercount can never push an over-bound winner set into a broadcast.
+# keys_bound fast path: a HARD bound under this margin of the cap proves
+# the broadcast safe with no sizing work at all. (r4 backed the margin with
+# an HLL estimate for unbounded batches; r5 replaced that probe — a full
+# extra batch scan, ~8.6 s of a 42 s 16M-event epoch at 4 cores — with an
+# EXACT persist+count of the winner aggregate itself, which the broadcast
+# build then reuses instead of recomputing. Exact count ⇒ no margin needed
+# on that path; the margin only still guards the probe-free bound.)
 AUTO_BROADCAST_MARGIN = 0.9
 
 
@@ -167,7 +171,8 @@ def lww_latest_narrow(
        * ``"auto"`` (default) — broadcast the (key, winning order, count)
          aggregate, size-guarded: a HARD ``keys_bound`` under the margin
          proves it safe with no probe job (distinct keys ≤ rows); an
-         unbounded batch pays a cheap HLL probe; past
+         unbounded batch persists + exactly counts the aggregate
+         (the count's scan+shuffle feeds the broadcast from cache); past
          ``broadcast_keys_max`` the whole narrow plan is abandoned for
          ``lww_latest`` (once the winner set can't be broadcast, a
          candidate join would shuffle every payload anyway). Measured on
@@ -214,6 +219,11 @@ def lww_latest_narrow(
     if broadcast_keys_max is None:  # call-time knob read; module attr fallback
         env = os.environ.get("SODES_BROADCAST_KEYS_MAX")
         broadcast_keys_max = int(env) if env is not None else BROADCAST_KEYS_MAX
+    agg_ord = F.max(order_col) if descending else F.min(order_col)
+    winners = df.groupBy(*[F.col(k) for k in keys]).agg(
+        agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
+    )
+    pinned = None
     if broadcast_winners == "auto":
         # Default fetch is the broadcast: measured on this box the winner
         # relation build is ~1.3 s SERIAL at 1.6M keys, while the bloom
@@ -222,33 +232,32 @@ def lww_latest_narrow(
         # The crossover favors the bloom only past ~16 local cores or on a
         # real multi-executor cluster (where the driver build is also a
         # 100-200 MB fanout hot spot) — deployments there opt in with
-        # broadcast_winners="bloom" / SODES_WINNER_FETCH=bloom. Sizing: a
-        # HARD keys_bound under the margin proves the broadcast safe with
-        # no probe job (distinct keys ≤ rows); otherwise a cheap HLL probe
-        # gates it, and past the cap the whole narrow plan is abandoned
-        # for the window kernel (once the winner set can't be broadcast, a
-        # candidate join would shuffle every payload anyway).
+        # broadcast_winners="bloom" / SODES_WINNER_FETCH=bloom (plus the
+        # plans.merge.resolve_winner_fetch auto-routing). Sizing: a HARD
+        # keys_bound under the margin proves the broadcast safe with no
+        # sizing work at all (distinct keys ≤ rows); otherwise the winner
+        # aggregate itself is persisted and counted EXACTLY — one job whose
+        # scan+shuffle the broadcast build then REUSES from cache, unlike
+        # the r4 HLL probe, which paid a full extra batch scan and still
+        # left the broadcast subtree recomputing the aggregate. Past the
+        # cap the whole narrow plan is abandoned for the window kernel
+        # (once the winner set can't be broadcast, a candidate join would
+        # shuffle every payload anyway).
         if keys_bound is not None and keys_bound <= AUTO_BROADCAST_MARGIN * broadcast_keys_max:
             broadcast_winners = True
         else:
-            est = df.agg(
-                F.approx_count_distinct(
-                    F.xxhash64(*[F.col(k) for k in keys]), rsd=0.02
-                ).alias("n")
-            ).collect()[0]["n"]
-            if est > AUTO_BROADCAST_MARGIN * broadcast_keys_max:
+            winners = winners.persist(StorageLevel.MEMORY_AND_DISK)
+            n_keys = winners.count()
+            if n_keys > broadcast_keys_max:
+                winners.unpersist()
                 out = lww_latest(
                     df, keys, order_col, descending=descending,
                     count_col=count_col, num_partitions=num_partitions,
                 )
                 out._sodes_pinned = None  # API compat: nothing pinned
                 return out
+            pinned = winners  # released by the caller via unpersist_pinned
             broadcast_winners = True
-    agg_ord = F.max(order_col) if descending else F.min(order_col)
-    winners = df.groupBy(*[F.col(k) for k in keys]).agg(
-        agg_ord.alias("_w_ord"), F.count(F.lit(1)).alias("_w_cnt")
-    )
-    pinned = None
     if broadcast_winners == "bloom":
         # Cluster-scale fetch: the winner set never becomes a driver-built
         # broadcast hash relation. (a) persist + count the winner aggregate

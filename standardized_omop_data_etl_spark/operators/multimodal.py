@@ -3,11 +3,12 @@
 Image/audio/video payloads are carried as ``binary`` columns with a typed
 metadata struct. The Spark-side machinery — schema, partition sizing,
 Arrow-batched UDF signatures, frame-sampling fan-out — is real and tested;
-the codec step is import-guarded (``_pick_decoder``): the real PIL image
-path when the library is importable on the executor, else the clearly
-marked deterministic ``_decode_stub`` (this environment ships no
-PIL/ffmpeg). Audio/video decode remains stub-only — wiring
-torchaudio/ffmpeg follows the same one-function pattern.
+the codec step is import-guarded per kind (``_pick_decoder``): the real
+PIL path for images and the real PyAV path for video when the libraries
+are importable on the executor, the stdlib-``wave``+numpy path for PCM
+audio (always available), else the clearly marked deterministic
+``_decode_stub`` (this environment ships no PIL/ffmpeg, so images and
+video exercise the fallback branch here while audio runs real).
 
 Scale notes: payload rows are large and skew-prone — ``pack_for_batching``
 repartitions by a payload-size-aware key so Arrow batches stay bounded;
@@ -82,16 +83,91 @@ def _decode_pil_image(payload: bytes, kind: str) -> list[float]:
         return _decode_stub(payload, kind)
 
 
+def _decode_wav_audio(payload: bytes, kind: str) -> list[float]:
+    """Real audio path — stdlib ``wave`` + numpy, no external codec needed:
+    decode PCM WAV, emit a 16-bin RMS envelope scaled to [-1, 1] (same
+    shape/range contract as the stub and the image path). Non-WAV bytes,
+    empty frames, or exotic sample widths fall back to the stub — a corrupt
+    record must not kill the Arrow batch."""
+    if kind != "audio" or not payload:
+        return _decode_stub(payload, kind)
+    import io
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            width = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        dtype = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float64) if dtype else None
+        if x is None or x.size == 0:
+            return _decode_stub(payload, kind)
+        peak = float(np.max(np.abs(x))) or 1.0
+        return [
+            float(np.sqrt(np.mean((b / peak) ** 2)) * 2.0 - 1.0) if b.size else -1.0
+            for b in np.array_split(x, 16)
+        ]
+    except Exception:
+        return _decode_stub(payload, kind)
+
+
+def _decode_av_video(payload: bytes, kind: str) -> list[float]:
+    """Real video path (import-guarded; only selected when PyAV/ffmpeg is
+    present — this sandbox ships neither, so here the guard's fallback
+    branch is what runs): decode the first frame, 4×4 mean-pool the
+    grayscale plane, emit 16 intensities in [-1, 1] — the shared feature
+    contract. Undecodable payloads fall back to the stub."""
+    if kind != "video" or not payload:
+        return _decode_stub(payload, kind)
+    import io
+
+    import av  # resolved only on executors that selected it
+    import numpy as np
+
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            for frame in container.decode(video=0):
+                g = frame.to_ndarray(format="gray").astype(np.float64)
+                h, w = g.shape
+                if h < 4 or w < 4:
+                    return _decode_stub(payload, kind)
+                pooled = (
+                    g[: h - h % 4, : w - w % 4]
+                    .reshape(4, h // 4, 4, w // 4)
+                    .mean(axis=(1, 3))
+                )
+                return [float(v / 255.0 * 2.0 - 1.0) for v in pooled.ravel()]
+        return _decode_stub(payload, kind)
+    except Exception:
+        return _decode_stub(payload, kind)
+
+
 def _pick_decoder():
     """Import-guarded codec selection, evaluated on the EXECUTOR (inside the
     Arrow UDF) so a heterogeneous cluster image doesn't break planning:
-    PIL when importable, the deterministic stub otherwise."""
+    per-kind dispatch — PIL for images and PyAV for video when importable
+    (stub otherwise), stdlib-WAV for audio (always available). Unknown
+    kinds take the stub."""
     try:
         import PIL.Image  # noqa: F401
 
-        return _decode_pil_image
+        img = _decode_pil_image
     except ImportError:
-        return _decode_stub
+        img = _decode_stub
+    try:
+        import av  # noqa: F401
+
+        vid = _decode_av_video
+    except Exception:  # ImportError, or ffmpeg sonames missing (OSError)
+        vid = _decode_stub
+    table = {"image": img, "audio": _decode_wav_audio, "video": vid}
+
+    def dispatch(payload: bytes, kind: str) -> list[float]:
+        return table.get(kind, _decode_stub)(payload, kind)
+
+    return dispatch
 
 
 def decode_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:

@@ -223,7 +223,7 @@ def resolve_winner_fetch(batch_rows_est: int | None, parallelism: int) -> str:
     """Pick the narrow kernel's winner fetch ('auto' = size-guarded
     broadcast, 'bloom' = distributed-bitmap prefilter) from the cluster
     width and the epoch's row bound. Unknown batch size → broadcast: the
-    HLL-guarded broadcast is safe at any size, while the bloom's two extra
+    count-guarded broadcast is safe at any size, while the bloom's two extra
     jobs only pay for themselves on provably large epochs."""
     if (
         parallelism >= _knob("SODES_BLOOM_MIN_CORES", BLOOM_FETCH_MIN_CORES)
@@ -235,7 +235,7 @@ def resolve_winner_fetch(batch_rows_est: int | None, parallelism: int) -> str:
 
 
 # lww_strategy="auto" crossover: the narrow kernel (winners-only wide
-# exchange) pays ~4 extra stages + an HLL probe per epoch; its payoff — not
+# exchange) pays ~4 extra stages + a sizing job per epoch; its payoff — not
 # shuffling non-winner payloads — only dominates when each core has a LOT of
 # exchange work per epoch. Measured A/B on this box (BENCH/BASELINE.md r4
 # kernel-shape table): at 31k batch rows/core window wins ~1.7x, at 125k
@@ -439,27 +439,41 @@ def densify_sparse_batch(
     )
 
     fill = folded.filter(~F.col("_is_del") & F.col("_img").isNull())
-    resident_cols = [c for c in payload if c in {f.name for f in table.schema().fields}]
-    bounded = batch_rows_bound is not None and batch_rows_bound <= _bkm()
-    resident = table.read(
-        columns=[key] + resident_cols,
-        key_filter=fill.select(key) if bounded else None,
-    ).select(key, *[F.col(c).alias(f"_r_{c}") for c in resident_cols])
-    resident = (
-        F.broadcast(resident) if bounded
-        else _keyed_join_side(resident, _bkm() + 1)
-    )
-    filled = fill.join(resident, key, "inner").select(
-        *out_cols,
-        F.lit("upsert").alias(op_col),
-        *[
-            F.coalesce(
-                upd_val(c),
-                F.col(f"_r_{c}") if c in resident_cols else F.lit(None).cast(dtypes[c]),
-            ).alias(c)
-            for c in payload
-        ],
-    )
+    # Fast path for the whole-row-producer shape (every key carries at least
+    # one full image, so NO key needs resident state): one O(batch-keys)
+    # count over the pinned aggregate proves `fill` empty, and the resident
+    # read + its join are skipped entirely — an all-full-image "sparse" log
+    # then costs ≈ the dense replay (the fold is the only residue). The
+    # count materializes the persisted fold, work the first consumer would
+    # have done anyway; when fill keys DO exist it costs one extra cheap
+    # cached-scan job, disclosed here, and nothing else changes.
+    if fill.count() == 0:
+        filled = dense.limit(0)  # folds to an empty relation (OptimizeLimitZero)
+    else:
+        resident_cols = [
+            c for c in payload if c in {f.name for f in table.schema().fields}
+        ]
+        bounded = batch_rows_bound is not None and batch_rows_bound <= _bkm()
+        resident = table.read(
+            columns=[key] + resident_cols,
+            key_filter=fill.select(key) if bounded else None,
+        ).select(key, *[F.col(c).alias(f"_r_{c}") for c in resident_cols])
+        resident = (
+            F.broadcast(resident) if bounded
+            else _keyed_join_side(resident, _bkm() + 1)
+        )
+        filled = fill.join(resident, key, "inner").select(
+            *out_cols,
+            F.lit("upsert").alias(op_col),
+            *[
+                F.coalesce(
+                    upd_val(c),
+                    F.col(f"_r_{c}") if c in resident_cols
+                    else F.lit(None).cast(dtypes[c]),
+                ).alias(c)
+                for c in payload
+            ],
+        )
 
     order = batch.columns + ["_n_events"]
     out = tombstones.unionByName(dense).unionByName(filled).select(*order)
@@ -587,7 +601,7 @@ def merge_into(
     ``batch_rows_bound`` is a HARD upper bound on the batch's row count (a
     replay epoch's LSN span, an offsets-manifest delta) and feeds the narrow
     kernel's broadcast size guard: under the broadcast margin it proves the
-    winner set broadcastable and skips the per-epoch HLL probe job entirely.
+    winner set broadcastable and skips the per-epoch sizing job entirely.
     Pass it only when it is a true bound — an under-report defeats the guard.
 
     ``prepared`` hands in this epoch's pre-written mor delta files

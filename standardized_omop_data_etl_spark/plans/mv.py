@@ -15,8 +15,16 @@ algebra instead:
 
 Group-moving updates fall out for free: the retraction and the contribution
 simply land in different groups. Count and sum are the self-maintainable
-aggregates (avg = sum/count at read time); min/max are NOT maintainable under
-deletes without the full group and are deliberately not offered.
+aggregates (avg = sum/count at read time); min/max are NOT delta-maintainable
+under deletes (retracting the current minimum needs the group's next-smallest
+value, which the feed does not carry) — they are served by the
+``group_recompute`` strategy instead: the feed names exactly which groups
+changed (after-image groups ∪ before-image groups), and only THOSE groups are
+re-aggregated from the base table. Scan cost is one pass of the base with a
+broadcast semi-join filter (group values are not the bucketing key, so rows
+of a touched group live in every bucket); aggregate cost is O(touched-group
+rows) — the minimum possible for exact min/max under deletes without a
+per-group value index.
 
 Scale shape: ``agg_deltas`` is one union + one partial-aggregated groupBy of
 the CHANGE volume (never the table); ``apply_agg_deltas`` joins O(groups
@@ -36,6 +44,14 @@ COUNT_COL = "mv_count"
 
 def _sum_col(v: str) -> str:
     return f"mv_sum_{v}"
+
+
+def _min_col(v: str) -> str:
+    return f"mv_min_{v}"
+
+
+def _max_col(v: str) -> str:
+    return f"mv_max_{v}"
 
 
 def agg_deltas(
@@ -121,15 +137,22 @@ def apply_agg_deltas(
 
 
 def bootstrap_agg(
-    df: DataFrame, group_cols: list[str], sum_cols: list[str] | None = None
+    df: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str] | None = None,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> DataFrame:
     """The view's initial state from a full read — run ONCE at subscription
     time; every refresh after that is ``agg_deltas`` + ``apply_agg_deltas``
-    over the feed."""
+    over the feed (count/sum) or a ``group_recompute`` refresh (min/max —
+    kept in their source column types, never coerced)."""
     sum_cols = sum_cols or []
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias(COUNT_COL),
         *[F.sum(v).cast("double").alias(_sum_col(v)) for v in sum_cols],
+        *[F.min(v).alias(_min_col(v)) for v in (min_cols or [])],
+        *[F.max(v).alias(_max_col(v)) for v in (max_cols or [])],
     )
 
 
@@ -161,6 +184,8 @@ def materialize_view(
     sum_cols: list[str] | None = None,
     name: str = "mv",
     num_buckets: int = 4,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ):
     """Create a persisted aggregate view of ``source`` (a LakeTable) at its
     current version and subscribe a feed consumer at the same version.
@@ -172,7 +197,7 @@ def materialize_view(
     sum_cols = sum_cols or []
     v0 = source.current_version()
     snap = bootstrap_agg(
-        source.read(version=v0), group_cols, sum_cols
+        source.read(version=v0), group_cols, sum_cols, min_cols, max_cols
     ).withColumn(MV_KEY_COL, _mv_key(group_cols))
     view = LakeTable.create(
         spark, path, schema=snap.schema, key_col=MV_KEY_COL,
@@ -218,6 +243,8 @@ def refresh_view(
     sum_cols: list[str] | None = None,
     allow_gc: bool = False,
     strategy: str = "auto",
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
 ) -> list:
     """Drain the consumer into the persisted view — incremental, exactly
     once, resumable:
@@ -235,22 +262,47 @@ def refresh_view(
     application and exactly-once bookkeeping are identical either way:
 
     * ``"incremental"`` — feed deltas (2 pruned scans of TOUCHED buckets at
-      the two versions + the change-volume join);
+      the two versions + the change-volume join); count/sum only;
     * ``"recompute"`` — one pruned full re-aggregate, merged as upserts plus
       deletes of groups that vanished (still position-keyed: cheaper than
       deltas whenever the range touched most of the table);
-    * ``"auto"`` (default) — recompute when the range's touched buckets hold
-      ≥ half the table's rows (incremental then costs ~2× the recompute
-      scan — the measured model in BENCH/BASELINE.md's mv_bench table),
-      incremental otherwise.
+    * ``"group_recompute"`` — re-aggregate ONLY the groups the feed names
+      (after-image groups ∪ before-image groups, so a group-moving update
+      refreshes both its old and new group): one base scan with a broadcast
+      semi-join filter + O(touched-group rows) aggregation. This is the
+      exact-maintenance path for ``min_cols`` / ``max_cols`` — a delete that
+      removes a group's minimum is answered by re-reading just that group;
+    * ``"auto"`` (default) — with min/max: ``group_recompute``, escalating
+      to ``recompute`` when the range touched ≥ half the table's rows;
+      without: ``incremental`` vs ``recompute`` at the same threshold (the
+      measured model in BENCH/BASELINE.md's mv_bench table).
 
     Returns the MergeResults of epochs actually applied this call."""
     from .merge import merge_into
 
-    if strategy not in ("auto", "incremental", "recompute"):
+    if strategy not in ("auto", "incremental", "recompute", "group_recompute"):
         raise ValueError(f"unknown strategy {strategy!r}")
     sum_cols = sum_cols or []
-    measures = [COUNT_COL] + [_sum_col(v) for v in sum_cols]
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+    if (min_cols or max_cols) and strategy == "incremental":
+        raise ValueError(
+            "min/max aggregates are not delta-maintainable under deletes; "
+            "use strategy='group_recompute' (or 'auto'/'recompute')"
+        )
+    measures = (
+        [COUNT_COL]
+        + [_sum_col(v) for v in sum_cols]
+        + [_min_col(v) for v in min_cols]
+        + [_max_col(v) for v in max_cols]
+    )
+    # measure dtypes for the delete rows' typed NULLs (min/max keep their
+    # source types; count/sum are long/double by construction)
+    mtypes = {
+        f.name: f.dataType
+        for f in view.schema().fields
+        if f.name in measures
+    }
     results = []
     while True:
         # crash / race recovery: ledger knows more than the offset file
@@ -263,15 +315,45 @@ def refresh_view(
             return results
         feed, head = got
         pos = consumer.position()
-        use_recompute = strategy == "recompute" or (
-            strategy == "auto"
-            and _touched_fraction(consumer.table, pos, head) >= 0.5
+        frac = (
+            _touched_fraction(consumer.table, pos, head)
+            if strategy == "auto" else None
         )
-        if use_recompute:
+        if strategy == "auto":
+            if frac >= 0.5:
+                resolved = "recompute"
+            elif min_cols or max_cols:
+                resolved = "group_recompute"
+            else:
+                resolved = "incremental"
+        else:
+            resolved = strategy
+        if resolved in ("recompute", "group_recompute"):
+            src = consumer.table.read(version=head)
+            if resolved == "group_recompute":
+                # groups named by the range: new groups of surviving rows +
+                # old groups of rows that were visible at `pos` (before
+                # images) — broadcast-sized (O(touched groups))
+                after_keys = feed.filter(F.col(CHANGE_OP_COL) != "delete").select(
+                    _mv_key(group_cols).alias(MV_KEY_COL)
+                )
+                before_keys = feed.filter(F.col(CHANGE_OP_COL) != "insert").select(
+                    _mv_key([BEFORE_PREFIX + c for c in group_cols]).alias(MV_KEY_COL)
+                )
+                touched_keys = after_keys.unionByName(before_keys).distinct()
+                src = src.withColumn(MV_KEY_COL, _mv_key(group_cols)).join(
+                    F.broadcast(touched_keys), on=MV_KEY_COL, how="left_semi"
+                ).drop(MV_KEY_COL)
             fresh = bootstrap_agg(
-                consumer.table.read(version=head), group_cols, sum_cols
+                src, group_cols, sum_cols, min_cols, max_cols
             ).withColumn(MV_KEY_COL, _mv_key(group_cols))
-            gone = view.read().select(MV_KEY_COL, *group_cols).join(
+            gone = view.read().select(MV_KEY_COL, *group_cols)
+            if resolved == "group_recompute":
+                # only touched groups may vanish; an untouched group absent
+                # from the RESTRICTED aggregate must not be deleted
+                gone = gone.join(F.broadcast(touched_keys), on=MV_KEY_COL,
+                                 how="left_semi")
+            gone = gone.join(
                 fresh.select(MV_KEY_COL), on=MV_KEY_COL, how="left_anti"
             )
             batch = fresh.select(
@@ -283,7 +365,7 @@ def refresh_view(
                     F.lit(head).cast("long").alias("lsn"),
                     F.lit("delete").alias("op"),
                     MV_KEY_COL, *group_cols,
-                    *[F.lit(None).cast("long" if m == COUNT_COL else "double").alias(m) for m in measures],
+                    *[F.lit(None).cast(mtypes[m]).alias(m) for m in measures],
                 )
             )
             r = merge_into(view, batch, epoch=f"mv:{consumer.name}:from-{pos}")

@@ -125,7 +125,7 @@ def replay_log(
             # and over-estimating biases mode="auto" toward cow (safe).
             # As a HARD bound it also proves the narrow kernel's winner
             # broadcast safe when under the cap, skipping the per-epoch
-            # HLL probe job (LSNs are unique integers, so at most hi-lo
+            # sizing job (LSNs are unique integers, so at most hi-lo
             # events exist in [lo, hi)).
             batch_rows_est=hi - lo,
             batch_rows_bound=hi - lo,

