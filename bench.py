@@ -53,24 +53,24 @@ def main() -> None:
     )
     qs = entrymod.queries()
 
-    # Session warm-up: one UNTIMED execution of every headline query. r4's
-    # min-of-2 hid a ~2x first-rep penalty (per-query codegen compile +
-    # input page-cache faults) that contaminated the driver total on a
-    # loaded host; warming each query's plan first makes BOTH timed reps
-    # representative (target: reps within ~20% on non-replay queries).
-    # Warm-up wall time is recorded in provenance for transparency.
+    # Per-query session warm-up: one UNTIMED execution IMMEDIATELY before
+    # that query's timed reps. r4's min-of-2 hid a ~2x first-rep penalty
+    # (per-query codegen compile + input page-cache faults) that
+    # contaminated the driver total on a loaded host; warming adjacent to
+    # the timed reps (rather than in a separate global pass) keeps the JIT,
+    # broadcast, and page-cache state hot for BOTH reps (target: reps
+    # within ~20% on non-replay queries). Warm-up wall time is recorded in
+    # provenance for transparency.
+    # min-of-2 per query: this sandbox's shared host has measured 3x noise
+    # spells; the min of two back-to-back runs is a far better estimate of
+    # the uncontended cost than a single sample.
     warmup: dict[str, float] = {}
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         t0 = time.time()
         qs[name](spark, sf_dir).count()
         warmup[name] = round(time.time() - t0, 3)
-
-    # min-of-2 per query: this sandbox's shared host has measured 3x noise
-    # spells; the min of two back-to-back runs is a far better estimate of
-    # the uncontended cost than a single sample.
-    timings: dict[str, float] = {}
-    samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
         samples[name] = []
         for _rep in range(2):
             t0 = time.time()

@@ -111,7 +111,11 @@ def main() -> None:
     make_zip()
     results: dict[int, list[dict]] = {c: [] for c in pair}
     legs: list[dict] = []
-    first = True
+    # SCALE_KEEP_INPUT_FIRST=1: reuse a pre-generated input in SCALE_WORKDIR
+    # even on the first leg (generation at local[1] costs ~12 min for a 32M
+    # log; pre-generating once at local[32] is identical input — the
+    # generator writes a FIXED partition layout regardless of parallelism).
+    first = os.environ.get("SCALE_KEEP_INPUT_FIRST") != "1"
     for rep in range(reps):
         for cores in pair:
             subprocess.run(["sync"])
